@@ -1,0 +1,168 @@
+"""Spatial neighbor graphs and weight matrices.
+
+Self-contained replacements for the reference's external graph dependencies:
+
+* ``spatial_neighbors`` replaces ``squidpy.gr.spatial_neighbors`` (used by the
+  reference at ``mapping_utils.py:95-100``): builds KNN or Delaunay spot
+  graphs into ``obsp['spatial_connectivities']`` / ``obsp['spatial_distances']``.
+  AnnDatas preprocessed by real squidpy work unchanged — only the ``obsp``
+  matrices are consumed downstream.
+* ``spatial_weights`` replaces the reference ``spatial_weights.py:5-29``
+  (squidpy output + sklearn normalize + libpysal W round-trip) with direct
+  scipy-sparse arithmetic producing the identical dense matrix.
+* ``neighbor_graph`` produces the structured k-NN form
+  (:class:`~tangram_tpu.ops.core.NeighborGraph`) so W @ X products scale past
+  dense O(spots²) storage.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import scipy.sparse as sp
+
+from .ops.core import NeighborGraph
+
+__all__ = ["spatial_neighbors", "spatial_weights", "neighbor_graph"]
+
+
+def spatial_neighbors(
+    adata_sp,
+    n_neighs: int = 6,
+    coord_type: str = "generic",
+    delaunay: bool = False,
+    set_diag: bool = False,
+    spatial_key: str = "spatial",
+):
+    """Compute a spot adjacency graph from ``obsm[spatial_key]`` coordinates.
+
+    Writes ``obsp['spatial_connectivities']`` (binary CSR) and
+    ``obsp['spatial_distances']`` (euclidean CSR), the two matrices the
+    reference pipeline reads (``spatial_weights.py:15-16``).
+    """
+    if spatial_key not in adata_sp.obsm:
+        raise ValueError(
+            f"Missing spatial coordinates in `obsm[{spatial_key!r}]`."
+        )
+    coords = np.asarray(adata_sp.obsm[spatial_key], dtype=np.float64)
+    n = coords.shape[0]
+
+    if delaunay or coord_type == "delaunay":
+        from scipy.spatial import Delaunay
+
+        tri = Delaunay(coords)
+        indptr, indices = tri.vertex_neighbor_vertices
+        rows = np.repeat(np.arange(n), np.diff(indptr))
+        cols = indices
+    else:
+        from sklearn.neighbors import NearestNeighbors
+
+        k = min(n_neighs + 1, n)
+        nn = NearestNeighbors(n_neighbors=k).fit(coords)
+        dist, idx = nn.kneighbors(coords)
+        # drop self (first column when the point is its own nearest neighbor)
+        rows = np.repeat(np.arange(n), k - 1)
+        cols = idx[:, 1:].reshape(-1)
+
+    d = np.linalg.norm(coords[rows] - coords[cols], axis=1)
+    conn = sp.csr_matrix((np.ones_like(d, dtype=np.float64), (rows, cols)), shape=(n, n))
+    dists = sp.csr_matrix((d, (rows, cols)), shape=(n, n))
+    conn.sum_duplicates()
+    dists.sum_duplicates()
+    conn.data[:] = 1.0
+
+    if set_diag:
+        conn = conn + sp.eye(n, format="csr")
+
+    adata_sp.obsp["spatial_connectivities"] = conn
+    adata_sp.obsp["spatial_distances"] = dists
+    return adata_sp
+
+
+def _require_graph(adata_sp):
+    if not {"spatial_connectivities", "spatial_distances"}.issubset(
+        set(adata_sp.obsp.keys())
+    ):
+        raise ValueError(
+            "Missing spatial neighborhood parameters. Run `pp_adatas()` with "
+            "the spatial information stored in `spatial` in `adata_sp.obsm`."
+        )
+
+
+def spatial_weights(adata_sp, standardized: bool, self_inclusion: bool) -> np.ndarray:
+    """Dense spot×spot weight matrix; numerically identical to the reference
+    ``spatial_weights.py:5-29``.
+
+    standardized=True: row-L1-normalized distances masked to the connectivity
+    pattern. standardized=False: binary connectivities. ``self_inclusion``
+    adds the identity *after* normalization (reference quirk preserved:
+    standardized+self-inclusion rows sum to 2).
+
+    Variants used by the pipeline (``mapping_utils.py:319-329``):
+    (True, True) neighborhood-g1 · (False, False) ct-islands ·
+    (True, False) Moran/Geary · (False, True) Getis-Ord.
+    """
+    _require_graph(adata_sp)
+    conn = sp.csr_matrix(adata_sp.obsp["spatial_connectivities"], dtype=np.float64)
+    if standardized:
+        dists = sp.csr_matrix(adata_sp.obsp["spatial_distances"], dtype=np.float64)
+        row_sums = np.asarray(np.abs(dists).sum(axis=1)).ravel()
+        scale = np.divide(1.0, row_sums, out=np.zeros_like(row_sums), where=row_sums != 0)
+        g = sp.diags(scale) @ dists
+        # mask to the connectivity pattern (identical pattern in practice)
+        mask = conn.copy()
+        mask.data[:] = 1.0
+        W = g.multiply(mask).toarray()
+    else:
+        W = conn.toarray()
+    if self_inclusion:
+        W = W + np.eye(W.shape[0])
+    return W
+
+
+def neighbor_graph(
+    adata_sp,
+    standardized: bool,
+    self_inclusion: bool,
+    max_neighbors: Optional[int] = None,
+) -> NeighborGraph:
+    """Structured (s, k) form of :func:`spatial_weights` for atlas scale.
+
+    Produces identical W @ X products without materializing the dense s×s
+    matrix (SURVEY §2.3 "spot parallelism": the scaling dimension of Tangram
+    is spots, not layers).
+    """
+    import jax.numpy as jnp
+
+    _require_graph(adata_sp)
+    conn = sp.csr_matrix(adata_sp.obsp["spatial_connectivities"], dtype=np.float64)
+    n = conn.shape[0]
+    if standardized:
+        dists = sp.csr_matrix(adata_sp.obsp["spatial_distances"], dtype=np.float64)
+        row_sums = np.asarray(np.abs(dists).sum(axis=1)).ravel()
+        scale = np.divide(1.0, row_sums, out=np.zeros_like(row_sums), where=row_sums != 0)
+        W = (sp.diags(scale) @ dists).multiply(conn.sign()).tocsr()
+    else:
+        W = conn.sign().tocsr()
+
+    nnz = np.diff(W.indptr)
+    k = int(nnz.max()) if n else 0
+    if self_inclusion:
+        k += 1
+    if max_neighbors is not None:
+        k = min(k, max_neighbors)
+
+    indices = np.zeros((n, k), dtype=np.int32)
+    weights = np.zeros((n, k), dtype=np.float32)
+    for i in range(n):
+        start, stop = W.indptr[i], W.indptr[i + 1]
+        cols = W.indices[start:stop]
+        vals = W.data[start:stop]
+        if self_inclusion:
+            cols = np.concatenate([cols, [i]])
+            vals = np.concatenate([vals, [1.0]])
+        m = min(len(cols), k)
+        indices[i, :m] = cols[:m]
+        weights[i, :m] = vals[:m]
+    return NeighborGraph(jnp.asarray(indices), jnp.asarray(weights))

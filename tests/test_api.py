@@ -1,0 +1,264 @@
+"""Public-API tests mirroring the reference test strategy (SURVEY §4):
+preprocessing invariants, error paths, train-score/eval-score consistency,
+and the golden AUC metric on the bundled 18k-gene table."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import tangram_tpu as tg
+
+DATA_DIR = os.path.join(os.path.dirname(__file__), "..", "data")
+
+
+@pytest.fixture
+def ad_sc_mock():
+    X = np.array([[0, 1, 1], [0, 1, 1]])
+    obs = pd.DataFrame(index=["cell_1", "cell_2"])
+    var = pd.DataFrame(index=["gene_a", "gene_b", "gene_d"])
+    return tg.AnnData(X=X, obs=obs, var=var)
+
+
+@pytest.fixture
+def ad_sp_mock():
+    X = np.array([[1, 1, 1, 1], [1, 1, 1, 1]])
+    obs = pd.DataFrame(index=["voxel_1", "voxel_2"])
+    var = pd.DataFrame(index=["gene_c", "gene_b", "gene_a", "gene_d"])
+    return tg.AnnData(X=X, obs=obs, var=var)
+
+
+@pytest.fixture
+def adatas(rng):
+    """Synthetic sc/sp pair with cluster structure and spatial coordinates
+    (the reference h5ad fixtures are absent from the snapshot)."""
+    n_cells, n_spots, n_genes = 60, 40, 25
+    centers = rng.normal(0, 1, (4, n_genes)) * 2
+    labels = rng.integers(0, 4, n_cells)
+    S = np.clip(rng.poisson(np.exp(centers[labels] * 0.5) + 0.5), 0, None).astype(np.float32)
+    spot_labels = rng.integers(0, 4, n_spots)
+    G = np.clip(rng.poisson(np.exp(centers[spot_labels] * 0.5) + 0.5), 0, None).astype(np.float32)
+
+    ad_sc = tg.AnnData(
+        X=S,
+        obs=pd.DataFrame(
+            {"subclass_label": pd.Categorical([f"c{l}" for l in labels])},
+            index=[f"cell{i}" for i in range(n_cells)],
+        ),
+        var=pd.DataFrame(index=[f"Gene{i}" for i in range(n_genes)]),
+    )
+    ad_sp = tg.AnnData(
+        X=G,
+        obs=pd.DataFrame(index=[f"spot{i}" for i in range(n_spots)]),
+        var=pd.DataFrame(index=[f"Gene{i}" for i in range(n_genes)]),
+    )
+    ad_sp.obsm["spatial"] = rng.random((n_spots, 2)).astype(np.float64)
+    tg.pp_adatas(ad_sc, ad_sp)
+    return ad_sc, ad_sp
+
+
+# --- preprocessing (reference tests/tangram_test.py:53-61) ---
+
+
+@pytest.mark.parametrize("genes", [None, ["gene_a", "gene_b"]])
+def test_pp_data(ad_sc_mock, ad_sp_mock, genes):
+    tg.pp_adatas(ad_sc_mock, ad_sp_mock, genes)
+
+    assert ad_sc_mock.uns["training_genes"] == ad_sp_mock.uns["training_genes"]
+    assert ad_sc_mock.uns["overlap_genes"] == ad_sp_mock.uns["overlap_genes"]
+    assert np.asarray(ad_sc_mock.X).any(axis=0).all()
+    assert np.asarray(ad_sp_mock.X).any(axis=0).all()
+    assert "rna_count_based_density" in ad_sp_mock.obs.keys()
+    assert "uniform_density" in ad_sp_mock.obs.keys()
+
+
+def test_pp_data_writes_spatial_graph(adatas):
+    _, ad_sp = adatas
+    assert "spatial_connectivities" in ad_sp.obsp
+    assert "spatial_distances" in ad_sp.obsp
+
+
+# --- mapping error paths (reference tests/tangram_test.py:109-152) ---
+
+
+@pytest.mark.parametrize(
+    "mode, cluster_label, lambda_g1, e",
+    [
+        ("clusters", "subclass_label", 0, "lambda_g1 cannot be 0."),
+        ("not_a_mode", None, 1, 'Argument "mode" must be'),
+        ("clusters", None, 1, "cluster_label must be specified"),
+    ],
+)
+def test_invalid_map_cells_to_space(adatas, mode, cluster_label, lambda_g1, e):
+    with pytest.raises(ValueError) as exc_info:
+        tg.map_cells_to_space(
+            adata_sc=adatas[0],
+            adata_sp=adatas[1],
+            mode=mode,
+            cluster_label=cluster_label,
+            lambda_g1=lambda_g1,
+            random_state=42,
+            num_epochs=10,
+            verbose=False,
+        )
+    assert e in str(exc_info.value)
+
+
+def test_invalid_density_prior(adatas):
+    with pytest.raises(ValueError, match="Invalid input for density_prior"):
+        tg.map_cells_to_space(
+            adatas[0], adatas[1], density_prior="bogus", num_epochs=5, verbose=False
+        )
+
+
+def test_constrained_requires_target_count(adatas):
+    with pytest.raises(ValueError, match="target_count"):
+        tg.map_cells_to_space(
+            adatas[0], adatas[1], mode="constrained", target_count=None,
+            num_epochs=5, verbose=False,
+        )
+
+
+# --- mapping output contract ---
+
+
+@pytest.mark.parametrize("mode", ["cells", "clusters"])
+def test_map_cells_to_space_output(adatas, mode):
+    ad_map = tg.map_cells_to_space(
+        adatas[0],
+        adatas[1],
+        mode=mode,
+        cluster_label="subclass_label",
+        num_epochs=40,
+        random_state=42,
+        verbose=False,
+    )
+    n_rows = 4 if mode == "clusters" else adatas[0].n_obs
+    assert ad_map.shape == (n_rows, adatas[1].n_obs)
+    np.testing.assert_allclose(ad_map.X.sum(axis=1), 1.0, atol=1e-4)
+    df = ad_map.uns["train_genes_df"]
+    assert set(["train_score", "sparsity_sc", "sparsity_sp", "sparsity_diff"]).issubset(df.columns)
+    assert len(ad_map.uns["training_history"]["total_loss"]) == 40
+    # var of the map is the spatial obs
+    assert list(ad_map.var.index) == list(adatas[1].obs.index)
+
+
+def test_map_constrained_output(adatas):
+    ad_map = tg.map_cells_to_space(
+        adatas[0],
+        adatas[1],
+        mode="constrained",
+        target_count=30,
+        num_epochs=40,
+        random_state=42,
+        verbose=False,
+        density_prior="uniform",
+    )
+    assert "F_out" in ad_map.obs
+    assert ((ad_map.obs["F_out"] >= 0) & (ad_map.obs["F_out"] <= 1)).all()
+    assert "count_reg" in ad_map.uns["training_history"]
+
+
+def test_deterministic_with_random_state(adatas):
+    kwargs = dict(mode="cells", num_epochs=20, random_state=42, verbose=False)
+    m1 = tg.map_cells_to_space(adatas[0], adatas[1], **kwargs)
+    m2 = tg.map_cells_to_space(adatas[0], adatas[1], **kwargs)
+    np.testing.assert_array_equal(m1.X, m2.X)
+
+
+# --- train-score consistency (reference tests/tangram_test.py:159-210) ---
+
+
+@pytest.mark.parametrize(
+    "lambda_g2, lambda_d, density_prior, scale",
+    [
+        (0, 0, None, True),
+        (0, 0, None, False),
+        (1, 0, None, True),
+        (0, 1, "uniform", True),
+        (0, 1, "rna_count_based", False),
+    ],
+)
+def test_train_score_match(adatas, lambda_g2, lambda_d, density_prior, scale):
+    ad_map = tg.map_cells_to_space(
+        adatas[0],
+        adatas[1],
+        mode="clusters",
+        cluster_label="subclass_label",
+        lambda_g2=lambda_g2,
+        lambda_d=lambda_d,
+        density_prior=density_prior,
+        scale=scale,
+        random_state=42,
+        num_epochs=100,
+        verbose=False,
+    )
+    ad_ge = tg.project_genes(
+        adata_map=ad_map, adata_sc=adatas[0], cluster_label="subclass_label", scale=scale
+    )
+    df_all_genes = tg.compare_spatial_geneexp(ad_ge, adatas[1])
+
+    avg_score_df = round(
+        df_all_genes[df_all_genes["is_training"] == True]["score"].mean(), 3
+    )
+    avg_score_hist = round(
+        float(list(ad_map.uns["training_history"]["main_loss"])[-1]), 3
+    )
+    assert avg_score_df == pytest.approx(avg_score_hist, abs=2e-3)
+
+
+# --- annotation transfer / deconvolution-adjacent utilities ---
+
+
+def test_project_cell_annotations(adatas):
+    ad_map = tg.map_cells_to_space(
+        adatas[0], adatas[1], mode="cells", num_epochs=20, random_state=42, verbose=False
+    )
+    tg.project_cell_annotations(ad_map, adatas[1], annotation="subclass_label")
+    pred = adatas[1].obsm["tangram_ct_pred"]
+    assert pred.shape == (adatas[1].n_obs, 4)
+    assert list(pred.index) == list(adatas[1].obs.index)
+
+
+def test_cell_type_mapping(adatas):
+    ad_map = tg.map_cells_to_space(
+        adatas[0], adatas[1], mode="cells", num_epochs=20, random_state=42, verbose=False
+    )
+    tg.cell_type_mapping(ad_map, cell_types_key="subclass_label")
+    ct_map = ad_map.varm["ct_map"]
+    assert ct_map.shape == (adatas[1].n_obs, 4)
+    assert float(ct_map.min().min()) == pytest.approx(0.0, abs=1e-6)
+    assert float(ct_map.max().max()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_one_hot_encoding():
+    s = pd.Series(pd.Categorical(["x", "y", "x", "z"]))
+    df = tg.one_hot_encoding(s)
+    assert set(df.columns) == {"x", "y", "z"}
+    assert df["x"].tolist() == [1, 0, 1, 0]
+
+
+def test_get_matched_genes():
+    prior = ["a", "b", "c", "d"]
+    sn = ["b", "e", "d"]
+    pi, si, genes = tg.get_matched_genes(prior, sn)
+    assert genes == ["b", "d"]
+    assert pi == [1, 3]
+    assert si == [0, 2]
+
+
+def test_annotate_gene_sparsity(rng):
+    X = np.array([[0, 1.0], [0, 2.0], [3.0, 0]])
+    ad = tg.AnnData(X=X)
+    tg.annotate_gene_sparsity(ad)
+    np.testing.assert_allclose(ad.var["sparsity"], [2 / 3, 1 / 3])
+
+
+# --- golden metric (reference tests/tangram_test.py:214-216) ---
+
+
+def test_eval_metric_golden():
+    df_all_genes = pd.read_csv(os.path.join(DATA_DIR, "test_df.csv"), index_col=0)
+    auc_score = tg.eval_metric(df_all_genes)[0]["auc_score"]
+    assert auc_score == pytest.approx(0.750597829464878)
