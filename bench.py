@@ -1,0 +1,81 @@
+"""Benchmark: the reference's headline workload on one TPU chip.
+
+Baseline anchor (BASELINE.md): the reference maps "~50k cells in a few
+minutes" on a P100; its tutorial workload is 26k cells → 9,852 Slide-seq
+voxels with 249 training genes at the default 1000 epochs
+(``tutorial_tangram_without_squidpy.ipynb``, ``mapping_utils.py:148-149``).
+We time exactly that shape — 26,000 × 9,852 × 249, 1000 Adam epochs, full
+density-KL loss — end to end (one jit-compiled lax.scan through the fused
+Pallas kernels, full on-device history included) and compare against a 180 s
+"few minutes on P100" reading of the baseline.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+N_CELLS, N_SPOTS, N_GENES, EPOCHS = 26_000, 9_852, 249, 1000
+BASELINE_SECONDS = 180.0  # "a few minutes" on P100 for the tutorial workload
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    from tangram_tpu.models.mapper import fit_mapping, init_logits
+    from tangram_tpu.ops.losses import LossWeights, MapperData
+
+    backend = jax.default_backend()
+    if backend == "cpu":
+        # CI/dev fallback: scale the problem down, still report honestly.
+        n_cells, n_spots, epochs = 2_600, 985, 50
+    else:
+        n_cells, n_spots, epochs = N_CELLS, N_SPOTS, EPOCHS
+
+    rng = np.random.default_rng(0)
+    S = rng.poisson(1.0, (n_cells, N_GENES)).astype(np.float32)
+    G = rng.poisson(2.0, (n_spots, N_GENES)).astype(np.float32)
+    d = rng.random(n_spots).astype(np.float32)
+    d /= d.sum()
+
+    lw = LossWeights(lambda_g1=1.0, lambda_d=1.0)
+    data = MapperData(S=jnp.asarray(S), G=jnp.asarray(G), d=jnp.asarray(d))
+    M0 = init_logits(n_cells, n_spots, random_state=42, method="jax")
+
+    # compile (persistent-cached; excluded from timing like the reference's
+    # one-time CUDA-context startup)
+    params, history = fit_mapping(M0, data, lw, epochs, 0.1)
+    _ = float(np.asarray(history["total_loss"])[-1])
+
+    t0 = time.perf_counter()
+    params, history = fit_mapping(M0 * 1.0001, data, lw, epochs, 0.1)
+    final_score = float(np.asarray(history["main_loss"])[-1])
+    elapsed = time.perf_counter() - t0
+
+    # normalize to the full workload if we had to scale down
+    scale = (N_CELLS * N_SPOTS * EPOCHS) / (n_cells * n_spots * epochs)
+    projected = elapsed * scale
+
+    result = {
+        "metric": f"tutorial_mapping_26k_cells_x_9852_spots_{EPOCHS}_epochs",
+        "value": round(projected, 3),
+        "unit": "seconds",
+        "vs_baseline": round(BASELINE_SECONDS / projected, 2),
+        "backend": backend,
+        "raw_seconds": round(elapsed, 3),
+        "epochs_per_s": round(epochs / elapsed, 2),
+        "final_train_score": round(final_score, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
