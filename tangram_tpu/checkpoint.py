@@ -1,0 +1,146 @@
+"""Checkpoint / resume for mapping runs.
+
+The reference *declares* warm-start support but raises ``NotImplemented``
+(``mapping_optimizer.py:147-153``, ``:472-478``) — an explicit capability gap
+(SURVEY §5). Here it is closed twice over:
+
+* warm start from a probability matrix: ``Mapper(adata_map=...)`` takes
+  log-probabilities as the new logits (see ``models/mapper.py``);
+* true mid-run checkpointing: :func:`train_checkpointed` chunks the compiled
+  scan, carrying the Adam state across chunks, and persists
+  ``(params, opt_state, epoch, history)`` with Orbax after each chunk.
+  :func:`restore` resumes bit-exactly (same Adam moments) from the latest
+  checkpoint.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from .models.mapper import fit_mapping
+
+__all__ = ["save", "restore", "latest_epoch", "train_checkpointed"]
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save(directory, epoch: int, params, opt_state, history=None) -> None:
+    """Persist one checkpoint at ``directory/ckpt_<epoch>``."""
+    directory = os.path.abspath(os.fspath(directory))
+    os.makedirs(directory, exist_ok=True)
+    payload = {
+        "epoch": np.int64(epoch),
+        "params": params,
+        "opt_state": opt_state,
+    }
+    if history is not None:
+        payload["history"] = {k: np.asarray(v) for k, v in history.items()}
+    _checkpointer().save(
+        os.path.join(directory, f"ckpt_{epoch}"), payload, force=True
+    )
+
+
+def latest_epoch(directory) -> Optional[int]:
+    directory = os.fspath(directory)
+    if not os.path.isdir(directory):
+        return None
+    epochs = [
+        int(name.split("_", 1)[1])
+        for name in os.listdir(directory)
+        if name.startswith("ckpt_") and name.split("_", 1)[1].isdigit()
+    ]
+    return max(epochs) if epochs else None
+
+
+def restore(directory, epoch: Optional[int] = None, opt_state_template=None):
+    """Load ``(epoch, params, opt_state, history)`` from a checkpoint dir.
+
+    Pass ``opt_state_template`` (e.g. ``make_adam(lr).init(params)``) to
+    restore the optimizer state into its original pytree structure — Orbax
+    round-trips NamedTuples as plain containers otherwise.
+    """
+    import jax
+
+    if epoch is None:
+        epoch = latest_epoch(directory)
+        if epoch is None:
+            raise FileNotFoundError(f"No checkpoints under {directory!r}")
+    payload = _checkpointer().restore(
+        os.path.join(os.path.abspath(os.fspath(directory)), f"ckpt_{epoch}")
+    )
+    opt_state = payload["opt_state"]
+    if opt_state_template is not None:
+        treedef = jax.tree.structure(opt_state_template)
+        opt_state = jax.tree.unflatten(treedef, jax.tree.leaves(opt_state))
+    return (
+        int(payload["epoch"]),
+        payload["params"],
+        opt_state,
+        payload.get("history"),
+    )
+
+
+def train_checkpointed(
+    params,
+    data,
+    lw,
+    num_epochs: int,
+    learning_rate: float,
+    checkpoint_dir,
+    checkpoint_every: int = 100,
+    constrained: bool = False,
+    impl: str = "auto",
+    resume: bool = True,
+):
+    """Train with periodic Orbax checkpoints; resume from the latest one.
+
+    Returns ``(params, history)`` where history covers epochs actually run in
+    this invocation plus any restored prefix.
+    """
+    from .models.mapper import make_adam
+
+    start_epoch = 0
+    opt_state = None
+    prefix_history = None
+    if resume and latest_epoch(checkpoint_dir) is not None:
+        template = make_adam(learning_rate).init(params)
+        start_epoch, params, opt_state, prefix_history = restore(
+            checkpoint_dir, opt_state_template=template
+        )
+        params = jax.tree.map(lambda x: jax.numpy.asarray(x), params)
+        opt_state = jax.tree.map(lambda x: jax.numpy.asarray(x), opt_state)
+
+    histories = [] if prefix_history is None else [prefix_history]
+    epoch = start_epoch
+    while epoch < num_epochs:
+        chunk = min(checkpoint_every, num_epochs - epoch)
+        params, opt_state, history = fit_mapping(
+            params,
+            data,
+            lw,
+            num_epochs=chunk,
+            learning_rate=learning_rate,
+            constrained=constrained,
+            impl=impl,
+            opt_state=opt_state,
+            return_opt_state=True,
+        )
+        history = jax.device_get(history)
+        histories.append({k: np.asarray(v) for k, v in history.items()})
+        epoch += chunk
+        save(checkpoint_dir, epoch, jax.device_get(params), jax.device_get(opt_state), history)
+
+    merged = {}
+    if histories:
+        for k in histories[-1]:
+            parts = [h[k] for h in histories if k in h]
+            merged[k] = np.concatenate(parts) if parts else np.array([])
+    return params, merged

@@ -109,6 +109,7 @@ def init_logits(
         "constrained",
         "with_val",
         "impl",
+        "return_opt_state",
     ),
 )
 def fit_mapping(
@@ -121,6 +122,8 @@ def fit_mapping(
     with_val: bool = False,
     val_data: Optional[MapperData] = None,
     impl: str = "auto",
+    opt_state=None,
+    return_opt_state: bool = False,
 ):
     """Run ``num_epochs`` Adam steps; return (params, history-pytree).
 
@@ -129,10 +132,14 @@ def fit_mapping(
     (``mapping_optimizer.py:382-396``). When ``with_val``, validation metrics
     are evaluated every epoch on ``val_data`` (callers subsample to their
     ``val_each`` cadence host-side).
+
+    Pass ``opt_state`` (and set ``return_opt_state``) to resume training
+    mid-run with intact Adam moments — the checkpoint/restore path.
     """
     loss_fn = compute_constrained_loss if constrained else compute_loss
     optimizer = make_adam(learning_rate)
-    opt_state = optimizer.init(params)
+    if opt_state is None:
+        opt_state = optimizer.init(params)
 
     def step(carry, _):
         params, opt_state = carry
@@ -148,9 +155,11 @@ def fit_mapping(
             out.update(val_metrics(M, vdata.S, vdata.G, vdata.gene_mask, impl=impl))
         return (new_params, opt_state), out
 
-    (params, _), history = jax.lax.scan(
+    (params, opt_state), history = jax.lax.scan(
         step, (params, opt_state), None, length=num_epochs
     )
+    if return_opt_state:
+        return params, opt_state, history
     return params, history
 
 

@@ -65,11 +65,13 @@ def make_mesh(
         n_cell_shards = n // n_spot_shards
     elif n_spot_shards is None:
         n_spot_shards = n // n_cell_shards
-    if n_cell_shards * n_spot_shards != n:
+    needed = n_cell_shards * n_spot_shards
+    if needed > n:
         raise ValueError(
-            f"mesh {n_cell_shards}×{n_spot_shards} != {n} devices"
+            f"mesh {n_cell_shards}×{n_spot_shards} needs {needed} devices, "
+            f"only {n} available"
         )
-    dev_grid = np.asarray(devices).reshape(n_cell_shards, n_spot_shards)
+    dev_grid = np.asarray(devices[:needed]).reshape(n_cell_shards, n_spot_shards)
     return Mesh(dev_grid, axis_names=("cell", "spot"))
 
 

@@ -1,0 +1,516 @@
+"""Hyperparameter tuning: an on-device population search.
+
+Reference behavior being reproduced (``mapping_parameter_tuning.py``):
+``mapping_hyperparameter_tuning(adata_sc, adata_sp, metric, config, ...)``
+runs trials over a search space; each trial trains 3 seeded mappers
+(``:109-131``) and reports 5 metrics (``:135-139``): three stability metrics
+across the repeat runs (``pearson_corr`` ``:42``, ``vote_entropy`` ``:55``,
+``consensus_entropy`` ``:71``), gene-expression consistency, and the
+validation gene score.
+
+TPU-native redesign: the reference ships dense S/G to a Ray worker process
+per trial (``:263-271``, process-level parallelism with no sharing). Here the
+loss takes its lambdas as *traced* scalars, so a single compiled
+``lax.scan`` training program serves every sampled configuration, and
+(config × repeat) batches run as one ``jax.vmap`` on device — the tuner is a
+population of mapping problems, not a queue of processes. Sampling uses a
+scrambled Sobol sequence (better space coverage than i.i.d. random at equal
+sample counts).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from . import spatial as sw
+from .utils import one_hot_encoding
+
+__all__ = [
+    "uniform",
+    "loguniform",
+    "choice",
+    "pearson_corr",
+    "vote_entropy",
+    "consensus_entropy",
+    "train_multiple_Mapper",
+    "mapping_hyperparameter_tuning",
+    "TunerResult",
+]
+
+TUNABLE_KEYS = [
+    "learning_rate",
+    "num_epochs",
+    "lambda_d",
+    "lambda_g1",
+    "lambda_g2",
+    "lambda_neighborhood_g1",
+    "lambda_r",
+    "lambda_l1",
+    "lambda_l2",
+    "lambda_ct_islands",
+    "lambda_getis_ord",
+]
+METRIC_KEYS = [
+    "cell_map_consistency",
+    "cell_map_agreement",
+    "cell_map_certainty",
+    "gene_expr_consistency",
+    "gene_expr_correctness",
+]
+N_REPEATS = 3  # seeded repeat runs per configuration (reference :109)
+
+
+# ---------------------------------------------------------------------------
+# search-space distributions (ray.tune-compatible duck types accepted too)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class uniform:
+    low: float
+    high: float
+
+    def from_unit(self, u):
+        return self.low + (self.high - self.low) * u
+
+
+@dataclass(frozen=True)
+class loguniform:
+    low: float
+    high: float
+
+    def from_unit(self, u):
+        return float(np.exp(np.log(self.low) + (np.log(self.high) - np.log(self.low)) * u))
+
+
+@dataclass(frozen=True)
+class choice:
+    values: tuple
+
+    def __init__(self, values):
+        object.__setattr__(self, "values", tuple(values))
+
+    def from_unit(self, u):
+        return self.values[min(int(u * len(self.values)), len(self.values) - 1)]
+
+
+def _coerce_domain(value):
+    """Accept our dataclasses, plain constants, or ray.tune domains."""
+    if isinstance(value, (uniform, loguniform, choice)):
+        return value
+    if isinstance(value, (int, float)):
+        fixed = float(value)
+        return uniform(fixed, fixed)
+    cls = type(value).__name__.lower()
+    if hasattr(value, "lower") and hasattr(value, "upper"):
+        lo, hi = float(value.lower), float(value.upper)
+        if "log" in cls or getattr(getattr(value, "sampler", None), "base", None):
+            return loguniform(lo, hi)
+        return uniform(lo, hi)
+    if hasattr(value, "categories"):
+        return choice(tuple(value.categories))
+    raise ValueError(f"Unsupported search-space value: {value!r}")
+
+
+# ---------------------------------------------------------------------------
+# stability metrics (reference :42-82)
+# ---------------------------------------------------------------------------
+
+
+def pearson_corr(cube):
+    """All pairwise Pearson correlations across the first (run) axis."""
+    idx = np.tril_indices(cube.shape[0], -1)
+    return np.corrcoef(np.reshape(cube, (cube.shape[0], -1)))[idx]
+
+
+def vote_entropy(pred_probs_cube):
+    """Normalized entropy of the argmax votes across runs → (runs, items)."""
+    import scipy.stats
+
+    votes_encoded = np.zeros(pred_probs_cube.shape)
+    votes = pred_probs_cube.argmax(axis=2)
+    for run in range(pred_probs_cube.shape[0]):
+        votes_encoded[run, np.arange(pred_probs_cube.shape[1]), votes[run]] = 1
+    return scipy.stats.entropy(votes_encoded.mean(axis=0), axis=1) / np.log(
+        pred_probs_cube.shape[2]
+    )
+
+
+def consensus_entropy(pred_probs_cube):
+    """Normalized entropy of the mean (consensus) mapping → (runs, items)."""
+    import scipy.stats
+
+    consensus_mapping = pred_probs_cube.mean(axis=0)
+    return scipy.stats.entropy(consensus_mapping, axis=1) / np.log(
+        pred_probs_cube.shape[2]
+    )
+
+
+# ---------------------------------------------------------------------------
+# traced-lambda loss: one compile for the whole population
+# ---------------------------------------------------------------------------
+
+
+def _tuner_loss(M, lam, data_arrays):
+    """All tunable terms computed unconditionally with traced weights.
+
+    Mathematically identical to :func:`tangram_tpu.ops.losses.compute_loss`
+    restricted to the tuner's whitelist (the tuner always builds every weight
+    matrix, reference ``:250-255``).
+    """
+    import jax.numpy as jnp
+
+    from .ops.core import graph_matmul, mapper_core
+    from .ops.losses import cosine_similarity, kl_div_sum
+
+    (S, G, d, mask, voxel_w, nb_filter, ct_enc, spatial_w, getis_ref) = data_arrays
+    if mask is not None:
+        S = S * mask[None, :]
+        G = G * mask[None, :]
+    n_cells = M.shape[0]
+
+    A = jnp.concatenate([S, ct_enc], axis=1)
+    w = jnp.full((n_cells,), 1.0 / n_cells, dtype=M.dtype)
+    Y, q, h = mapper_core(M, A, w)
+    G_pred = Y[:, : S.shape[1]]
+    ct_map = Y[:, S.shape[1]:]
+
+    def mmean(v):
+        if mask is None:
+            return jnp.mean(v)
+        return jnp.sum(v * mask) / jnp.sum(mask)
+
+    gv_sim = mmean(cosine_similarity(G_pred, G, axis=0))
+    vg_sim = jnp.mean(cosine_similarity(G_pred, G, axis=1))
+    density = kl_div_sum(jnp.log(q), d)
+    entropy = -jnp.sum(h)
+    l1 = jnp.sum(jnp.abs(M))
+    l2 = jnp.sum(M * M)
+    nb_sim = mmean(
+        cosine_similarity(graph_matmul(voxel_w, G_pred), graph_matmul(voxel_w, G), axis=0)
+    )
+    nb_ct = graph_matmul(nb_filter, ct_map)
+    ct_penalty = jnp.mean(jnp.maximum(ct_map - nb_ct, 0.0))
+    getis_pred = graph_matmul(spatial_w, G_pred) / jnp.maximum(
+        jnp.sum(G_pred, axis=0), 1e-30
+    )
+    getis_sim = mmean(cosine_similarity(getis_ref, getis_pred, axis=0))
+
+    total = (
+        -(lam["lambda_g1"] * gv_sim + lam["lambda_g2"] * vg_sim)
+        + lam["lambda_d"] * density
+        + lam["lambda_r"] * entropy
+        + lam["lambda_l1"] * l1
+        + lam["lambda_l2"] * l2
+        + lam["lambda_ct_islands"] * ct_penalty
+        - lam["lambda_neighborhood_g1"] * nb_sim
+        - lam["lambda_getis_ord"] * getis_sim
+    )
+    return total, gv_sim
+
+
+def train_multiple_Mapper(config, data):
+    """Train N_REPEATS seeded mappers for one config and report the 5 metrics
+    (reference ``:86-139``). Kept for API parity; the batched population path
+    below is what the tuner itself uses."""
+    (S, G, d_source, d, device, print_each, voxel_weights, ct_encode,
+     neighborhood_filter, spatial_weights, train_genes_idx, val_genes_idx) = data
+    del d_source, device, print_each
+
+    report = _run_population(
+        configs=[{k: float(v) for k, v in config.items()}],
+        S=S, G=G, d=d,
+        voxel_weights=voxel_weights,
+        neighborhood_filter=neighborhood_filter,
+        ct_encode=ct_encode,
+        spatial_weights=spatial_weights,
+        train_genes_idx=train_genes_idx,
+        val_genes_idx=val_genes_idx,
+    )
+    return report.iloc[0].to_dict()
+
+
+def _run_population(
+    configs,
+    S,
+    G,
+    d,
+    voxel_weights,
+    neighborhood_filter,
+    ct_encode,
+    spatial_weights,
+    train_genes_idx,
+    val_genes_idx,
+    population_batch_size: int = 4,
+    verbose: bool = False,
+):
+    import jax
+    import jax.numpy as jnp
+
+    from .models.mapper import init_logits, make_adam
+    from .ops.losses import val_metrics
+
+    n_cells, n_spots = S.shape[0], G.shape[0]
+    g_all = S.shape[1]
+    train_mask = np.zeros(g_all, np.float32)
+    train_mask[np.asarray(train_genes_idx)] = 1.0
+
+    S_dev = jnp.asarray(S)
+    G_dev = jnp.asarray(G)
+    arrays = (
+        S_dev,
+        G_dev,
+        jnp.asarray(d, dtype=jnp.float32),
+        jnp.asarray(train_mask),
+        jnp.asarray(np.asarray(voxel_weights), dtype=jnp.float32),
+        jnp.asarray(np.asarray(neighborhood_filter), dtype=jnp.float32),
+        jnp.asarray(np.asarray(ct_encode), dtype=jnp.float32),
+        jnp.asarray(np.asarray(spatial_weights), dtype=jnp.float32),
+    )
+
+    # Getis-Ord reference on the (masked) training genes
+    Gm = np.asarray(G) * train_mask[None, :]
+    getis_ref = (np.asarray(spatial_weights) @ Gm) / np.maximum(
+        Gm.sum(axis=0), 1e-30
+    )
+    arrays = arrays + (jnp.asarray(getis_ref, dtype=jnp.float32),)
+
+    # 3 seeded inits, shared across every config (reference seeds runs 0,1,2)
+    M0s = jnp.stack(
+        [init_logits(n_cells, n_spots, None if r == 0 else r, "jax") for r in range(N_REPEATS)]
+    )
+
+    lam_keys = [k for k in TUNABLE_KEYS if k not in ("learning_rate", "num_epochs")]
+
+    def fit_one(lam_vec, lr, M0, num_epochs):
+        import optax
+
+        lam = {k: lam_vec[i] for i, k in enumerate(lam_keys)}
+        data_arrays = arrays
+
+        optimizer = make_adam(lr)
+        opt_state = optimizer.init(M0)
+
+        def step(carry, _):
+            M, opt_state = carry
+            grads = jax.grad(lambda m: _tuner_loss(m, lam, data_arrays)[0])(M)
+            updates, opt_state = optimizer.update(grads, opt_state, M)
+            return (optax.apply_updates(M, updates), opt_state), None
+
+        (M, _), _ = jax.lax.scan(step, (M0, opt_state), None, length=num_epochs)
+        P = jax.nn.softmax(M, axis=1)
+        # reference quirk: _val_loss_fn evaluates on the train split
+        vm = val_metrics(M, S_dev, G_dev, gene_mask=jnp.asarray(train_mask))
+        return P, vm["val_gene_sim"]
+
+    results = []
+    # group configs by num_epochs (static scan length)
+    by_epochs: dict[int, list[int]] = {}
+    for idx, cfg in enumerate(configs):
+        by_epochs.setdefault(int(cfg.get("num_epochs", 1000)), []).append(idx)
+
+    for num_epochs, idxs in by_epochs.items():
+        fit_batched = jax.jit(
+            jax.vmap(  # over configs
+                jax.vmap(  # over repeats
+                    lambda lam_vec, lr, M0: fit_one(lam_vec, lr, M0, num_epochs),
+                    in_axes=(None, None, 0),
+                ),
+                in_axes=(0, 0, None),
+            )
+        )
+        for start in range(0, len(idxs), population_batch_size):
+            chunk = idxs[start : start + population_batch_size]
+            lam_mat = jnp.asarray(
+                [[float(configs[i].get(k, 0.0)) for k in lam_keys] for i in chunk],
+                dtype=jnp.float32,
+            )
+            lrs = jnp.asarray(
+                [float(configs[i].get("learning_rate", 0.1)) for i in chunk],
+                dtype=jnp.float32,
+            )
+            Ps, val_scores = fit_batched(lam_mat, lrs, M0s)
+            Ps = np.asarray(Ps)  # (chunk, repeats, c, s)
+            val_scores = np.asarray(val_scores)
+
+            for row, i in enumerate(chunk):
+                cube = Ps[row]
+                gene_cube = np.array(
+                    [S[:, np.asarray(val_genes_idx)].T @ cube[r] for r in range(N_REPEATS)]
+                )
+                results.append(
+                    {
+                        "_index": i,
+                        "cell_map_consistency": float(pearson_corr(cube).mean()),
+                        "cell_map_agreement": float(1 - vote_entropy(cube).mean()),
+                        "cell_map_certainty": float(1 - consensus_entropy(cube).mean()),
+                        "gene_expr_consistency": float(pearson_corr(gene_cube).mean()),
+                        "gene_expr_correctness": float(val_scores[row].mean()),
+                    }
+                )
+            if verbose:
+                logging.info("tuner: %d/%d trials done", len(results), len(configs))
+
+    results.sort(key=lambda r: r["_index"])
+    df = pd.DataFrame(results).drop(columns="_index")
+    return df
+
+
+# ---------------------------------------------------------------------------
+# public tuner
+# ---------------------------------------------------------------------------
+
+
+class _ResultGrid:
+    def __init__(self, df):
+        self._df = df
+
+    def get_dataframe(self):
+        return self._df
+
+
+class TunerResult:
+    """Duck-types the ray ``Tuner`` the reference returns: call
+    ``.get_results().get_dataframe()`` for a row per trial with the 5 metrics
+    and ``config/...`` columns."""
+
+    def __init__(self, df):
+        self._df = df
+
+    def get_results(self):
+        return _ResultGrid(self._df)
+
+    def fit(self):  # already fitted; parity no-op
+        return self.get_results()
+
+
+def mapping_hyperparameter_tuning(
+    adata_sc,
+    adata_sp,
+    metric,
+    config,
+    tuner_num_samples: int = 2000,
+    cv_train_genes=None,
+    cv_val_genes=None,
+    cluster_label=None,
+    device=None,
+    density_prior="rna_count_based",
+    random_state: Optional[int] = 0,
+    population_batch_size: int = 4,
+    verbose: bool = False,
+) -> TunerResult:
+    """Tune mapping hyperparameters (reference ``:141-272``).
+
+    Differences from the reference: trials run as on-device vmapped batches
+    instead of Ray worker processes, and sampling is Sobol quasi-random
+    (OptunaSearch is process-bound; at Tangram's trial costs quasi-random
+    coverage is the robust default). Ray is not required.
+    """
+    del device
+
+    if (type(density_prior) is str) and (
+        density_prior not in ["rna_count_based", "uniform", None]
+    ):
+        raise ValueError("Invalid input for density_prior.")
+
+    if not set(["training_genes", "overlap_genes"]).issubset(set(adata_sc.uns.keys())):
+        raise ValueError("Missing tangram parameters. Run `pp_adatas()`.")
+    if not set(["training_genes", "overlap_genes"]).issubset(set(adata_sp.uns.keys())):
+        raise ValueError("Missing tangram parameters. Run `pp_adatas()`.")
+    assert list(adata_sp.uns["training_genes"]) == list(adata_sc.uns["training_genes"])
+
+    overlap_genes = adata_sc.uns["overlap_genes"]
+
+    if cv_train_genes is None:
+        train_genes_idx = list(range(len(overlap_genes)))
+    else:
+        if set(cv_train_genes).issubset(set(adata_sc.uns["training_genes"])):
+            train_genes_idx = (
+                adata_sc[:, overlap_genes].var.index.get_indexer(cv_train_genes)
+            )
+        else:
+            raise ValueError("Given training genes should be subset of two AnnDatas.")
+
+    if cv_val_genes is None:
+        val_genes_idx = list(range(len(overlap_genes)))
+    else:
+        if set(cv_val_genes).issubset(set(adata_sc.uns["training_genes"])):
+            val_genes_idx = (
+                adata_sc[:, overlap_genes].var.index.get_indexer(cv_val_genes)
+            )
+        else:
+            raise ValueError("Given validation genes should be subset of two AnnDatas.")
+
+    if not set(metric).issubset(set(METRIC_KEYS)):
+        raise ValueError(
+            'Argument "metric" must be a subset of {}'.format(METRIC_KEYS)
+        )
+    if not set(config.keys()).issubset(set(TUNABLE_KEYS)):
+        raise ValueError(
+            'Keys of the argument "config" must be a subset of {}'.format(TUNABLE_KEYS)
+        )
+
+    logging.info("Allocate tensors for mapping.")
+    from .mapping import _densify
+
+    S = _densify(adata_sc[:, overlap_genes].X)
+    G = _densify(adata_sp[:, overlap_genes].X)
+    if not S.any(axis=0).all() or not G.any(axis=0).all():
+        raise ValueError("Genes with all zero values detected. Run `pp_adatas()`.")
+
+    if isinstance(density_prior, str) and density_prior == "rna_count_based":
+        density_prior = adata_sp.obs["rna_count_based_density"]
+    elif isinstance(density_prior, str) and density_prior == "uniform":
+        density_prior = adata_sp.obs["uniform_density"]
+    d = np.asarray(
+        density_prior
+        if density_prior is not None
+        else adata_sp.obs["uniform_density"],
+        dtype=np.float32,
+    )
+
+    # all weight-matrix variants, unconditionally (reference :250-255)
+    voxel_weights = sw.spatial_weights(adata_sp, standardized=True, self_inclusion=True)
+    if cluster_label not in adata_sc.obs.keys():
+        raise ValueError(
+            "cluster_label must be specified for the cell type island extension."
+        )
+    neighborhood_filter = sw.spatial_weights(
+        adata_sp, standardized=False, self_inclusion=False
+    )
+    ct_encode = one_hot_encoding(adata_sc.obs[cluster_label]).values
+    spatial_weights = sw.spatial_weights(adata_sp, standardized=False, self_inclusion=True)
+
+    # Sobol sampling of the search space
+    domains = {k: _coerce_domain(v) for k, v in config.items()}
+    from scipy.stats import qmc
+
+    sampler = qmc.Sobol(d=max(len(domains), 1), scramble=True, seed=random_state)
+    unit = sampler.random(tuner_num_samples)
+    configs = []
+    for row in unit:
+        cfg = {k: dom.from_unit(u) for (k, dom), u in zip(domains.items(), row)}
+        configs.append(cfg)
+
+    df = _run_population(
+        configs=configs,
+        S=S,
+        G=G,
+        d=d,
+        voxel_weights=voxel_weights,
+        neighborhood_filter=neighborhood_filter,
+        ct_encode=ct_encode,
+        spatial_weights=spatial_weights,
+        train_genes_idx=train_genes_idx,
+        val_genes_idx=val_genes_idx,
+        population_batch_size=population_batch_size,
+        verbose=verbose,
+    )
+    for k in domains:
+        df[f"config/{k}"] = [cfg[k] for cfg in configs]
+    return TunerResult(df)

@@ -1,0 +1,141 @@
+"""Hyperparameter-tuner tests: stability metrics vs the reference formulas,
+and the end-to-end population search."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import tangram_tpu as tg
+from tangram_tpu import tuning
+
+from _reference import load_reference_optimizer
+
+REF = load_reference_optimizer()
+
+
+def test_pearson_corr_shape(rng):
+    cube = rng.normal(size=(3, 5, 7))
+    out = tuning.pearson_corr(cube)
+    assert out.shape == (3,)  # 3 choose 2 pairs
+    # identical runs → correlation 1
+    same = np.stack([cube[0]] * 3)
+    np.testing.assert_allclose(tuning.pearson_corr(same), 1.0, rtol=1e-12)
+
+
+def test_vote_entropy_bounds(rng):
+    cube = rng.random((3, 6, 4))
+    v = tuning.vote_entropy(cube)
+    assert v.shape == (6,)
+    assert (v >= 0).all() and (v <= 1 + 1e-9).all()
+    # all runs agree on the argmax → zero vote entropy
+    agree = np.zeros((3, 6, 4))
+    agree[:, :, 1] = 1.0
+    np.testing.assert_allclose(tuning.vote_entropy(agree), 0.0, atol=1e-12)
+
+
+def test_consensus_entropy_uniform_is_one():
+    cube = np.full((3, 5, 8), 1 / 8)
+    np.testing.assert_allclose(tuning.consensus_entropy(cube), 1.0, rtol=1e-12)
+
+
+@pytest.fixture
+def tuner_adatas(rng):
+    n_cells, n_spots, n_genes = 30, 24, 12
+    S = (rng.poisson(2.0, (n_cells, n_genes)) + 1).astype(np.float32)
+    G = (rng.poisson(2.0, (n_spots, n_genes)) + 1).astype(np.float32)
+    ad_sc = tg.AnnData(
+        X=S,
+        obs=pd.DataFrame(
+            {"subclass_label": pd.Categorical(rng.choice(["a", "b", "c"], n_cells))},
+            index=[f"c{i}" for i in range(n_cells)],
+        ),
+        var=pd.DataFrame(index=[f"g{i}" for i in range(n_genes)]),
+    )
+    ad_sp = tg.AnnData(
+        X=G,
+        obs=pd.DataFrame(index=[f"s{i}" for i in range(n_spots)]),
+        var=pd.DataFrame(index=[f"g{i}" for i in range(n_genes)]),
+    )
+    ad_sp.obsm["spatial"] = rng.random((n_spots, 2))
+    tg.pp_adatas(ad_sc, ad_sp)
+    return ad_sc, ad_sp
+
+
+def test_tuner_end_to_end(tuner_adatas):
+    ad_sc, ad_sp = tuner_adatas
+    metric = ["cell_map_consistency", "gene_expr_correctness"]
+    config = {
+        "learning_rate": tuning.loguniform(0.01, 0.5),
+        "lambda_g1": tuning.uniform(0.5, 1.0),
+        "lambda_r": tuning.loguniform(1e-12, 1e-3),
+        "num_epochs": 30,
+    }
+    tuner = tg.mapping_hyperparameter_tuning(
+        ad_sc, ad_sp, metric, config, tuner_num_samples=4,
+        cluster_label="subclass_label",
+    )
+    df = tuner.get_results().get_dataframe()
+    assert len(df) == 4
+    for m in tuning.METRIC_KEYS:
+        assert m in df.columns
+        assert np.isfinite(df[m]).all()
+    assert "config/learning_rate" in df.columns
+    assert (df["config/lambda_g1"] >= 0.5).all() and (df["config/lambda_g1"] <= 1.0).all()
+    # stability metrics live in [−1, 1] / [0, 1] ranges
+    assert (df["cell_map_consistency"] <= 1.0 + 1e-6).all()
+    assert (df["cell_map_agreement"] <= 1.0 + 1e-6).all()
+
+
+def test_tuner_validates_inputs(tuner_adatas):
+    ad_sc, ad_sp = tuner_adatas
+    with pytest.raises(ValueError, match='"metric"'):
+        tg.mapping_hyperparameter_tuning(
+            ad_sc, ad_sp, ["not_a_metric"], {"lambda_g1": 1.0},
+            cluster_label="subclass_label", tuner_num_samples=1,
+        )
+    with pytest.raises(ValueError, match='"config"'):
+        tg.mapping_hyperparameter_tuning(
+            ad_sc, ad_sp, ["cell_map_consistency"], {"bogus": 1.0},
+            cluster_label="subclass_label", tuner_num_samples=1,
+        )
+    with pytest.raises(ValueError, match="cluster_label"):
+        tg.mapping_hyperparameter_tuning(
+            ad_sc, ad_sp, ["cell_map_consistency"], {"lambda_g1": 1.0},
+            cluster_label=None, tuner_num_samples=1,
+        )
+
+
+@pytest.mark.skipif(REF is None, reason="reference torch optimizer unavailable")
+def test_tuner_loss_matches_reference_terms(rng):
+    """The traced-lambda tuner loss equals the reference loss for the
+    tuner's term subset."""
+    import jax.numpy as jnp
+    import torch
+
+    c, s, g = 14, 10, 6
+    S = (rng.poisson(2.0, (c, g)) + 0.5).astype(np.float32)
+    G = (rng.poisson(3.0, (s, g)) + 0.5).astype(np.float32)
+    M = rng.normal(0, 1, (c, s)).astype(np.float32)
+    d = rng.random(s).astype(np.float32)
+    d /= d.sum()
+    W = (rng.random((s, s)) * (rng.random((s, s)) < 0.5)).astype(np.float32)
+    ct = np.zeros((c, 3), np.float32)
+    ct[np.arange(c), rng.integers(0, 3, c)] = 1
+
+    lam = dict(lambda_g1=0.9, lambda_g2=0.4, lambda_d=0.6, lambda_r=0.05,
+               lambda_l1=0.02, lambda_l2=0.01, lambda_neighborhood_g1=0.3,
+               lambda_ct_islands=0.25, lambda_getis_ord=0.35)
+
+    ref = REF.Mapper(
+        S=S, G=G, d=d, voxel_weights=W, neighborhood_filter=W, ct_encode=ct,
+        spatial_weights=W, **lam,
+    )
+    ref.M = torch.tensor(M, dtype=torch.float32, requires_grad=True)
+    ref_total = float(ref._loss_fn(verbose=False)[0])
+
+    getis_ref = (W @ G) / G.sum(axis=0)
+    arrays = tuple(
+        jnp.asarray(x) for x in (S, G, d, np.ones(g, np.float32), W, W, ct, W, getis_ref)
+    )
+    total, _ = tuning._tuner_loss(jnp.asarray(M), {k: jnp.float32(v) for k, v in lam.items()}, arrays)
+    assert float(total) == pytest.approx(ref_total, rel=3e-4)
