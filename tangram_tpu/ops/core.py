@@ -47,6 +47,18 @@ def _mapper_core_xla(M, A, w):
     return Y, q, h
 
 
+def resolve_impl(impl: str, m_shape) -> str:
+    """'auto' picks the Pallas kernels on TPU for problems large enough that
+    HBM traffic dominates; XLA otherwise (small problems and CPU tests)."""
+    if impl != "auto":
+        return impl
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and m_shape[0] * m_shape[1] >= (8192 * 8192)
+    )
+    return "pallas" if use_pallas else "xla"
+
+
 def mapper_core(M, A, w, impl: str = "auto"):
     """Fused softmax → projection → marginals → entropy.
 
@@ -61,12 +73,7 @@ def mapper_core(M, A, w, impl: str = "auto"):
         (Y, q, h): (n_spots, k) projection, (n_spots,) marginal,
         (n_cells,) per-cell sum of P*log(P).
     """
-    if impl == "auto":
-        use_pallas = (
-            jax.default_backend() == "tpu"
-            and M.shape[0] * M.shape[1] >= (8192 * 8192)
-        )
-        impl = "pallas" if use_pallas else "xla"
+    impl = resolve_impl(impl, M.shape)
     if impl == "pallas":
         from .pallas_core import mapper_core_pallas
 

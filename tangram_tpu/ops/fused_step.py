@@ -1,0 +1,279 @@
+"""Fully-fused training step: backward softmax-VJP + Adam in one kernel.
+
+The generic path per step moves ~13 c·s-sized buffers through HBM:
+forward (2 reads of M) + backward (2 reads, 1 write of dM) + XLA-fused Adam
+(read M, dM, mu, nu; write M, mu, nu). Fusing the Adam update into the
+backward tile kernel removes the dM write, the dM read, and Adam's M read —
+~10 c·s transfers per step, a ~25% cut at the memory roofline.
+
+Step structure (unconstrained modes only — cells/clusters; the constrained
+mode keeps the generic optax path for its F parameter):
+
+1. rowstats kernel       → per-cell softmax stats (m, l, Σe·M[, Σ|M|, ΣM²])
+2. projection kernel     → Y = PᵀA, q = wP            (1 read of M)
+3. XLA epilogue          → loss terms + (dY, dq, dh) cotangents via jax.vjp
+   (everything downstream of the core is (spots × k)-sized — cheap)
+4. rbar kernel           → r_c = Σ_s P ⊙ dP            (1 read of M)
+5. dm_adam kernel        → g = P(dP − r) [+ L1/L2 grads], then the exact
+   torch/optax Adam update in-tile                     (read M, mu, nu;
+                                                        write M, mu, nu)
+
+Numerically identical to optax.adam (b1=0.9, b2=0.999, eps=1e-8 post-sqrt,
+bias correction with incremented count) — asserted by tests against the
+generic path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .losses import (
+    LossWeights,
+    MapperData,
+    unconstrained_epilogue,
+    unconstrained_inputs,
+)
+from .pallas_core import (
+    TC,
+    TS,
+    NEG_BIG,
+    _cell_mask,
+    _dp_tile,
+    _interpret,
+    _pad_k,
+    _project,
+    _rbar_kernel,
+    _spot_mask,
+)
+
+__all__ = ["fused_unconstrained_step", "init_fused_opt_state", "fused_supported"]
+
+BETA1, BETA2, ADAM_EPS = 0.9, 0.999, 1e-8
+
+
+def fused_supported(lw: LossWeights, constrained: bool) -> bool:
+    return not constrained
+
+
+# ---------------------------------------------------------------------------
+# rowstats with optional L1/L2 norm accumulation
+# ---------------------------------------------------------------------------
+
+
+def _rowstats_norms_kernel(M_ref, m_ref, l_ref, u_ref, s1_ref, s2_ref, *, s_actual: int):
+    j = pl.program_id(1)
+    tile = M_ref[...]
+    valid = _spot_mask(s_actual, j, tile.shape)
+    tile_m = jnp.where(valid, tile, NEG_BIG)
+    tile_z = jnp.where(valid, tile, 0.0)
+
+    tile_max = jnp.max(tile_m, axis=1, keepdims=True)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_BIG)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        u_ref[...] = jnp.zeros_like(u_ref)
+        s1_ref[...] = jnp.zeros_like(s1_ref)
+        s2_ref[...] = jnp.zeros_like(s2_ref)
+
+    m_old = m_ref[...]
+    m_new = jnp.maximum(m_old, tile_max)
+    scale = jnp.exp(m_old - m_new)
+    e = jnp.where(valid, jnp.exp(tile_m - m_new), 0.0)
+    l_ref[...] = l_ref[...] * scale + jnp.sum(e, axis=1, keepdims=True)
+    u_ref[...] = u_ref[...] * scale + jnp.sum(e * tile_m, axis=1, keepdims=True)
+    m_ref[...] = m_new
+    s1_ref[...] += jnp.sum(jnp.abs(tile_z), axis=1, keepdims=True)
+    s2_ref[...] += jnp.sum(tile_z * tile_z, axis=1, keepdims=True)
+
+
+def _rowstats_norms(M):
+    c, s = M.shape
+    grid = (pl.cdiv(c, TC), pl.cdiv(s, TS))
+    stat = pl.BlockSpec((TC, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_rowstats_norms_kernel, s_actual=s),
+        grid=grid,
+        in_specs=[pl.BlockSpec((TC, TS), lambda i, j: (i, j), memory_space=pltpu.VMEM)],
+        out_specs=[stat] * 5,
+        out_shape=[jax.ShapeDtypeStruct((c, 1), jnp.float32)] * 5,
+        interpret=_interpret(),
+    )(M)
+
+
+# ---------------------------------------------------------------------------
+# backward + Adam, one pass
+# ---------------------------------------------------------------------------
+
+
+def _dm_adam_kernel(
+    M_ref, A_ref, dY_ref, w_ref, dq_ref, dh_ref, m_ref, l_ref, r_ref,
+    mu_ref, nu_ref, sc_ref,
+    Mo_ref, muo_ref, nuo_ref,
+    *, c_actual: int, s_actual: int, lam_l1: float, lam_l2: float,
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    P, dP, _, _ = _dp_tile(
+        M_ref[...], m_ref[...], l_ref[...], A_ref[...], dY_ref[...],
+        w_ref[...], dq_ref[...], dh_ref[...], i, j, c_actual, s_actual,
+    )
+    valid = _spot_mask(s_actual, j, P.shape) & _cell_mask(c_actual, i, P.shape)
+    P = jnp.where(valid, P, 0.0)
+    dP = jnp.where(valid, dP, 0.0)
+
+    M_tile = M_ref[...]
+    g = P * (dP - r_ref[...])
+    if lam_l1 != 0.0:
+        g = g + lam_l1 * jnp.sign(M_tile)
+    if lam_l2 != 0.0:
+        g = g + (2.0 * lam_l2) * M_tile
+    g = jnp.where(valid, g, 0.0)
+
+    lr = sc_ref[0, 0]
+    bc1 = sc_ref[0, 1]
+    bc2 = sc_ref[0, 2]
+
+    mu_new = BETA1 * mu_ref[...] + (1.0 - BETA1) * g
+    nu_new = BETA2 * nu_ref[...] + (1.0 - BETA2) * (g * g)
+    m_hat = mu_new / bc1
+    v_hat = nu_new / bc2
+    Mo_ref[...] = M_tile - lr * m_hat / (jnp.sqrt(v_hat) + ADAM_EPS)
+    muo_ref[...] = mu_new
+    nuo_ref[...] = nu_new
+
+
+def _dm_adam(M, A, w, m, l, dY, dq, dh, r, mu, nu, scalars, lam_l1, lam_l2):
+    c, s = M.shape
+    k = A.shape[1]
+    grid = (pl.cdiv(c, TC), pl.cdiv(s, TS))
+
+    big = lambda i, j: (i, j)  # noqa: E731
+    cell_stat = pl.BlockSpec((TC, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((TC, TS), big, memory_space=pltpu.VMEM),              # M
+        pl.BlockSpec((TC, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),   # A
+        pl.BlockSpec((TS, k), lambda i, j: (j, 0), memory_space=pltpu.VMEM),   # dY
+        cell_stat,                                                          # w
+        pl.BlockSpec((1, TS), lambda i, j: (0, j), memory_space=pltpu.VMEM),   # dq
+        cell_stat,                                                          # dh
+        cell_stat,                                                          # m
+        cell_stat,                                                          # l
+        cell_stat,                                                          # r
+        pl.BlockSpec((TC, TS), big, memory_space=pltpu.VMEM),              # mu
+        pl.BlockSpec((TC, TS), big, memory_space=pltpu.VMEM),              # nu
+        pl.BlockSpec((1, 4), lambda i, j: (0, 0), memory_space=pltpu.SMEM),  # scalars
+    ]
+    out_specs = [
+        pl.BlockSpec((TC, TS), big, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TC, TS), big, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TC, TS), big, memory_space=pltpu.VMEM),
+    ]
+    return pl.pallas_call(
+        partial(
+            _dm_adam_kernel,
+            c_actual=c,
+            s_actual=s,
+            lam_l1=float(lam_l1),
+            lam_l2=float(lam_l2),
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[jax.ShapeDtypeStruct((c, s), jnp.float32)] * 3,
+        input_output_aliases={0: 0, 9: 1, 10: 2},
+        interpret=_interpret(),
+    )(
+        M, A, dY, w.reshape(-1, 1), dq.reshape(1, -1), dh.reshape(-1, 1),
+        m, l, r, mu, nu, scalars,
+    )
+
+
+def _rbar(M, A, w, m, l, dY, dq, dh):
+    c, s = M.shape
+    k = A.shape[1]
+    cell_stat = pl.BlockSpec((TC, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((TC, TS), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TC, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TS, k), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        cell_stat,
+        pl.BlockSpec((1, TS), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        cell_stat,
+        cell_stat,
+        cell_stat,
+    ]
+    grid = (pl.cdiv(c, TC), pl.cdiv(s, TS))
+    return pl.pallas_call(
+        partial(_rbar_kernel, c_actual=c, s_actual=s),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[cell_stat],
+        out_shape=[jax.ShapeDtypeStruct((c, 1), jnp.float32)],
+        interpret=_interpret(),
+    )(M, A, dY, w.reshape(-1, 1), dq.reshape(1, -1), dh.reshape(-1, 1), m, l)[0]
+
+
+def init_fused_opt_state(M):
+    """(count, mu, nu) — the fused path's Adam carry."""
+    return jnp.zeros((), jnp.int32), jnp.zeros_like(M), jnp.zeros_like(M)
+
+
+def fused_unconstrained_step(
+    M,
+    count,
+    mu,
+    nu,
+    data: MapperData,
+    lw: LossWeights,
+    learning_rate,
+):
+    """One fused Adam step; returns (M_new, count_new, mu_new, nu_new, terms)."""
+    A, w = unconstrained_inputs(M, data, lw)
+    k_real = A.shape[1]
+    A_p = _pad_k(A)
+
+    need_norms = lw.lambda_l1 != 0 or lw.lambda_l2 != 0
+    if need_norms:
+        m, l, u, s1, s2 = _rowstats_norms(M)
+        l1_sum = jnp.sum(s1)
+        l2_sum = jnp.sum(s2)
+    else:
+        from .pallas_core import _rowstats
+
+        m, l, u = _rowstats(M)
+        l1_sum = l2_sum = None
+
+    Y_p, q = _project(M, A_p, w, m, l)
+    h = (u[:, 0] / l[:, 0]) - m[:, 0] - jnp.log(l[:, 0])
+
+    def epilogue(Y, q, h):
+        return unconstrained_epilogue(Y, q, h, l1_sum, l2_sum, data, lw)
+
+    total, vjp, terms = jax.vjp(
+        lambda Y, q, h: epilogue(Y, q, h), Y_p[:, :k_real], q, h, has_aux=True
+    )
+    dY, dq, dh = vjp(jnp.ones_like(total))
+    dY_p = _pad_k(dY)
+
+    r = _rbar(M, A_p, w, m, l, dY_p, dq, dh)
+
+    count_new = count + 1
+    t = count_new.astype(jnp.float32)
+    bc1 = 1.0 - BETA1 ** t
+    bc2 = 1.0 - BETA2 ** t
+    scalars = jnp.stack(
+        [jnp.asarray(learning_rate, jnp.float32), bc1, bc2, jnp.float32(0)]
+    ).reshape(1, 4)
+
+    M_new, mu_new, nu_new = _dm_adam(
+        M, A_p, w, m, l, dY_p, dq, dh, r, mu, nu, scalars,
+        lw.lambda_l1, lw.lambda_l2,
+    )
+    return M_new, count_new, mu_new, nu_new, terms

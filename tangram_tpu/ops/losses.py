@@ -37,6 +37,8 @@ __all__ = [
     "spatial_local_indicators",
     "compute_loss",
     "compute_constrained_loss",
+    "unconstrained_inputs",
+    "unconstrained_epilogue",
     "val_metrics",
 ]
 
@@ -160,6 +162,38 @@ def compute_loss(M, data: MapperData, lw: LossWeights, impl: str = "auto"):
     Returns ``(total_loss, terms)`` where ``terms`` reproduces the reference's
     reported per-term values (NaNs included for disabled terms).
     """
+    A, w = unconstrained_inputs(M, data, lw)
+    Y, q, h = mapper_core(M, A, w, impl=impl)
+    l1_sum = jnp.sum(jnp.abs(M)) if lw.lambda_l1 != 0 else None
+    l2_sum = jnp.sum(M * M) if lw.lambda_l2 != 0 else None
+    return unconstrained_epilogue(Y, q, h, l1_sum, l2_sum, data, lw)
+
+
+def unconstrained_inputs(M, data: MapperData, lw: LossWeights):
+    """(A, w) fed to mapper_core for the unconstrained loss: A is S with the
+    ct one-hot appended when islands are active; w is the marginal weight
+    (uniform for cells mode, cluster density for clusters mode)."""
+    S, mask = data.S, data.gene_mask
+    if mask is not None:
+        S = S * mask[None, :]
+    need_ct = lw.lambda_ct_islands > 0 and data.ct_encode is not None
+    A = jnp.concatenate([S, data.ct_encode], axis=1) if need_ct else S
+    if data.d_source is not None:
+        w = data.d_source
+    else:
+        n_cells = M.shape[0]
+        w = jnp.full((n_cells,), 1.0 / n_cells, dtype=M.dtype)
+    return A, w
+
+
+def unconstrained_epilogue(Y, q, h, l1_sum, l2_sum, data: MapperData, lw: LossWeights):
+    """Everything downstream of the fused core: expression similarities,
+    density KL, entropy, spatial regularizers — all functions of the small
+    (spots × k) projection, so the fused-Adam path can differentiate this
+    epilogue alone and hand the (dY, dq, dh) cotangents to the streamed
+    backward kernel. ``l1_sum``/``l2_sum`` are the raw-logit norms (their
+    gradients are handled elsewhere; values only feed the reported terms).
+    """
     S, G, mask = data.S, data.G, data.gene_mask
     if mask is not None:
         # Zero out non-fold gene columns so every reduction (including the
@@ -168,16 +202,8 @@ def compute_loss(M, data: MapperData, lw: LossWeights, impl: str = "auto"):
         # cross-validation folds (SURVEY §7 "dynamic shapes").
         S = S * mask[None, :]
         G = G * mask[None, :]
-    n_cells = M.shape[0]
 
     need_ct = lw.lambda_ct_islands > 0 and data.ct_encode is not None
-    A = jnp.concatenate([S, data.ct_encode], axis=1) if need_ct else S
-    if data.d_source is not None:
-        w = data.d_source
-    else:
-        w = jnp.full((n_cells,), 1.0 / n_cells, dtype=M.dtype)
-
-    Y, q, h = mapper_core(M, A, w, impl=impl)
     G_pred = Y[:, : S.shape[1]]
     ct_map = Y[:, S.shape[1]:] if need_ct else None
 
@@ -208,8 +234,8 @@ def compute_loss(M, data: MapperData, lw: LossWeights, impl: str = "auto"):
     )
 
     # l1/l2 on raw logits (:228-231)
-    l1_term = lw.lambda_l1 * jnp.sum(jnp.abs(M)) if lw.lambda_l1 != 0 else 0.0
-    l2_term = lw.lambda_l2 * jnp.sum(M * M) if lw.lambda_l2 != 0 else 0.0
+    l1_term = lw.lambda_l1 * l1_sum if lw.lambda_l1 != 0 else 0.0
+    l2_term = lw.lambda_l2 * l2_sum if lw.lambda_l2 != 0 else 0.0
     terms["l1_reg"] = l1_term / lw.lambda_l1 if lw.lambda_l1 != 0 else jnp.float32(jnp.nan)
     terms["l2_reg"] = l2_term / lw.lambda_l2 if lw.lambda_l2 != 0 else jnp.float32(jnp.nan)
 

@@ -183,16 +183,17 @@ def count_cell_annotations(adata_map, adata_sc, adata_sp, annotation="cell_type"
 
     resulting_voxels = np.argmax(adata_map.X, axis=1)
 
+    annotations = np.asarray(adata_sc.obs[annotation])
     if "F_out" in adata_map.obs.keys():
         vox_ct = [
-            (j, adata_sc.obs[annotation][k])
+            (j, annotations[k])
             for i, j, k in zip(
                 adata_map.obs["F_out"], resulting_voxels, range(len(adata_sc))
             )
             if i > threshold
         ]
     else:
-        vox_ct = list(zip(resulting_voxels, adata_sc.obs[annotation]))
+        vox_ct = list(zip(resulting_voxels, annotations))
 
     df_classes = one_hot_encoding(adata_sc.obs[annotation])
     for i in df_classes.columns:
@@ -220,10 +221,10 @@ def deconvolve_cell_annotations(adata_sp, filter_cell_annotation=None):
 
     if filter_cell_annotation is None:
         filter_cell_annotation = pd.unique(
-            list(adata_sp.obsm["tangram_ct_pred"].columns)
+            np.asarray(adata_sp.obsm["tangram_ct_pred"].columns)
         )
     else:
-        filter_cell_annotation = pd.unique(filter_cell_annotation)
+        filter_cell_annotation = pd.unique(np.asarray(filter_cell_annotation))
 
     df_vox_cells = adata_sp.obsm["tangram_ct_count"]
     cell_types_mapped = df_to_cell_types(df_vox_cells, filter_cell_annotation)
