@@ -11,7 +11,7 @@ The public namespace is flat, like the reference (``tangram/__init__.py``):
 ``import tangram_tpu as tg; tg.pp_adatas(...); tg.map_cells_to_space(...)``.
 """
 
-from . import cell_selection, checkpoint, parallel, profiling
+from . import cell_selection, checkpoint, gene_selection, parallel, profiling
 from ._version import __version__
 from .adlite import AnnData, read_h5ad, write_h5ad
 from .mapping import adata_to_cluster_expression, map_cells_to_space, pp_adatas
