@@ -125,7 +125,7 @@ def fit_mapping(
     impl: str = "auto",
     opt_state=None,
     return_opt_state: bool = False,
-    fused: bool = False,
+    fused: bool = True,
 ):
     """Run ``num_epochs`` Adam steps; return (params, history-pytree).
 

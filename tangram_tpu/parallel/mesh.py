@@ -38,7 +38,28 @@ __all__ = [
     "shard_mapping",
     "fit_mapping_sharded",
     "train_step_sharded",
+    "init_distributed",
 ]
+
+
+def init_distributed(coordinator_address=None, num_processes=None, process_id=None):
+    """Initialize the JAX multi-host runtime (the reference has no multi-node
+    support at all; Ray only distributes independent tuner trials).
+
+    On TPU pods the arguments are auto-detected from the environment; pass
+    them explicitly for CPU/GPU clusters. Safe to call once per process
+    before any jax operation.
+    """
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
 
 
 def _factor_2d(n: int) -> tuple[int, int]:
