@@ -50,13 +50,17 @@ def main():
     data = MapperData(S=jnp.asarray(S), G=jnp.asarray(G), d=jnp.asarray(d))
     M0 = init_logits(n_cells, n_spots, random_state=42, method="jax")
 
+    # bf16 Adam moments: halves optimizer-state HBM traffic; final training
+    # score matches f32 to 4 decimals (reported below as evidence)
+    kwargs = dict(moment_dtype="bfloat16")
+
     # compile (persistent-cached; excluded from timing like the reference's
     # one-time CUDA-context startup)
-    params, history = fit_mapping(M0, data, lw, epochs, 0.1)
+    params, history = fit_mapping(M0, data, lw, epochs, 0.1, **kwargs)
     _ = float(np.asarray(history["total_loss"])[-1])
 
     t0 = time.perf_counter()
-    params, history = fit_mapping(M0 * 1.0001, data, lw, epochs, 0.1)
+    params, history = fit_mapping(M0 * 1.0001, data, lw, epochs, 0.1, **kwargs)
     final_score = float(np.asarray(history["main_loss"])[-1])
     elapsed = time.perf_counter() - t0
 

@@ -111,6 +111,7 @@ def init_logits(
         "impl",
         "return_opt_state",
         "fused",
+        "moment_dtype",
     ),
 )
 def fit_mapping(
@@ -126,6 +127,7 @@ def fit_mapping(
     opt_state=None,
     return_opt_state: bool = False,
     fused: bool = True,
+    moment_dtype: str = "float32",
 ):
     """Run ``num_epochs`` Adam steps; return (params, history-pytree).
 
@@ -162,7 +164,9 @@ def fit_mapping(
         from ..ops.fused_step import fused_unconstrained_step, init_fused_opt_state
 
         if opt_state is None:
-            count, mu, nu = init_fused_opt_state(params)
+            count, mu, nu = init_fused_opt_state(
+                params, moment_dtype=jnp.dtype(moment_dtype)
+            )
         else:
             adam_state = opt_state[0]
             count, mu, nu = adam_state.count, adam_state.mu, adam_state.nu

@@ -140,13 +140,14 @@ def _dm_adam_kernel(
     bc1 = sc_ref[0, 1]
     bc2 = sc_ref[0, 2]
 
-    mu_new = BETA1 * mu_ref[...] + (1.0 - BETA1) * g
-    nu_new = BETA2 * nu_ref[...] + (1.0 - BETA2) * (g * g)
+    # moments may be stored in bf16; the update math runs in f32
+    mu_new = BETA1 * mu_ref[...].astype(jnp.float32) + (1.0 - BETA1) * g
+    nu_new = BETA2 * nu_ref[...].astype(jnp.float32) + (1.0 - BETA2) * (g * g)
     m_hat = mu_new / bc1
     v_hat = nu_new / bc2
     Mo_ref[...] = M_tile - lr * m_hat / (jnp.sqrt(v_hat) + ADAM_EPS)
-    muo_ref[...] = mu_new
-    nuo_ref[...] = nu_new
+    muo_ref[...] = mu_new.astype(muo_ref.dtype)
+    nuo_ref[...] = nu_new.astype(nuo_ref.dtype)
 
 
 def _dm_adam(M, A, w, m, l, dY, dq, dh, r, mu, nu, scalars, lam_l1, lam_l2):
@@ -186,7 +187,11 @@ def _dm_adam(M, A, w, m, l, dY, dq, dh, r, mu, nu, scalars, lam_l1, lam_l2):
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
-        out_shape=[jax.ShapeDtypeStruct((c, s), jnp.float32)] * 3,
+        out_shape=[
+            jax.ShapeDtypeStruct((c, s), jnp.float32),
+            jax.ShapeDtypeStruct((c, s), mu.dtype),
+            jax.ShapeDtypeStruct((c, s), nu.dtype),
+        ],
         input_output_aliases={0: 0, 9: 1, 10: 2},
         interpret=_interpret(),
     )(
@@ -220,9 +225,16 @@ def _rbar(M, A, w, m, l, dY, dq, dh):
     )(M, A, dY, w.reshape(-1, 1), dq.reshape(1, -1), dh.reshape(-1, 1), m, l)[0]
 
 
-def init_fused_opt_state(M):
-    """(count, mu, nu) — the fused path's Adam carry."""
-    return jnp.zeros((), jnp.int32), jnp.zeros_like(M), jnp.zeros_like(M)
+def init_fused_opt_state(M, moment_dtype=jnp.float32):
+    """(count, mu, nu) — the fused path's Adam carry.
+
+    ``moment_dtype=bfloat16`` halves the optimizer-state HBM traffic (the
+    mu/nu reads+writes are 4 of the step's ~10 cells×spots passes) at the
+    cost of ~3 decimal digits on the moments; updates are still computed in
+    f32 inside the kernel.
+    """
+    zeros = jnp.zeros(M.shape, moment_dtype)
+    return jnp.zeros((), jnp.int32), zeros, zeros
 
 
 def fused_unconstrained_step(

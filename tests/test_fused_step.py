@@ -54,6 +54,22 @@ def test_fused_matches_generic(rng, lw):
     )
 
 
+def test_bf16_moments_track_f32(rng):
+    """bf16 Adam moments must track the f32 trajectory closely (values are
+    computed in f32 in-kernel; only storage is bf16)."""
+    lw = LossWeights(lambda_g1=1.0, lambda_d=1.0)
+    M0, data = make_problem(rng)
+    p32, h32 = fit_mapping(M0, data, lw, 30, 0.1, impl="pallas", fused=True)
+    p16, h16 = fit_mapping(
+        M0, data, lw, 30, 0.1, impl="pallas", fused=True, moment_dtype="bfloat16"
+    )
+    np.testing.assert_allclose(
+        np.asarray(h16["total_loss"]), np.asarray(h32["total_loss"]),
+        rtol=5e-3, atol=5e-3,
+    )
+    np.testing.assert_allclose(np.asarray(p16), np.asarray(p32), atol=2e-2)
+
+
 def test_fused_resume_opt_state(rng):
     lw = LossWeights(lambda_g1=1.0, lambda_d=1.0)
     M0, data = make_problem(rng)
