@@ -39,9 +39,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["mapper_core_pallas"]
 
-# Tile sizes: multiples of the f32 (8, 128) base tile; a TC×TS fp32 block is
-# 512 KB — comfortably inside VMEM with double buffering.
-TC = 256  # cells per tile
+# Tile sizes: multiples of the f32 (8, 128) base tile. Measured on v5e at the
+# tutorial workload: 512×512 beats 256×512 by ~10% (fewer cell tiles → fewer
+# refetches of the (spots, genes) cotangent block); 1024×512 and 512×1024
+# overflow VMEM in the fused backward+Adam kernel.
+TC = 512  # cells per tile
 TS = 512  # spots per tile
 NEG_BIG = -1e30
 
