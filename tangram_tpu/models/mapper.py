@@ -91,8 +91,11 @@ def init_logits(
     (``np.random.seed(seed); np.random.normal(0, 1, (c, s))``,
     ``mapping_optimizer.py:148-150``). ``method='jax'`` draws on-device with
     the JAX PRNG — required at atlas scale where a host-side float64 draw
-    would need 8 bytes per entry of host RAM.
+    would need 8 bytes per entry of host RAM. ``'auto'`` picks numpy below
+    2^30 elements.
     """
+    if method == "auto":
+        method = "numpy" if n_cells * n_spots < (1 << 30) else "jax"
     if method == "numpy":
         if random_state:
             np.random.seed(seed=random_state)
