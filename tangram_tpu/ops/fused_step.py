@@ -153,28 +153,33 @@ def _dm_adam_kernel(
 def _dm_adam(M, A, w, m, l, dY, dq, dh, r, mu, nu, scalars, lam_l1, lam_l2):
     c, s = M.shape
     k = A.shape[1]
-    grid = (pl.cdiv(c, TC), pl.cdiv(s, TS))
+    # This kernel streams 6 big (tc, ts) blocks (M/mu/nu in + out); at very
+    # large problems the 512-cell tile overflows the 16 MB scoped-VMEM stack,
+    # so drop to 256 cells past ~800M elements (measured on v5e).
+    tc = TC if c * s < 800_000_000 else 256
+    ts = TS
+    grid = (pl.cdiv(c, tc), pl.cdiv(s, ts))
 
     big = lambda i, j: (i, j)  # noqa: E731
-    cell_stat = pl.BlockSpec((TC, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    cell_stat = pl.BlockSpec((tc, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((TC, TS), big, memory_space=pltpu.VMEM),              # M
-        pl.BlockSpec((TC, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),   # A
-        pl.BlockSpec((TS, k), lambda i, j: (j, 0), memory_space=pltpu.VMEM),   # dY
+        pl.BlockSpec((tc, ts), big, memory_space=pltpu.VMEM),              # M
+        pl.BlockSpec((tc, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),   # A
+        pl.BlockSpec((ts, k), lambda i, j: (j, 0), memory_space=pltpu.VMEM),   # dY
         cell_stat,                                                          # w
-        pl.BlockSpec((1, TS), lambda i, j: (0, j), memory_space=pltpu.VMEM),   # dq
+        pl.BlockSpec((1, ts), lambda i, j: (0, j), memory_space=pltpu.VMEM),   # dq
         cell_stat,                                                          # dh
         cell_stat,                                                          # m
         cell_stat,                                                          # l
         cell_stat,                                                          # r
-        pl.BlockSpec((TC, TS), big, memory_space=pltpu.VMEM),              # mu
-        pl.BlockSpec((TC, TS), big, memory_space=pltpu.VMEM),              # nu
+        pl.BlockSpec((tc, ts), big, memory_space=pltpu.VMEM),              # mu
+        pl.BlockSpec((tc, ts), big, memory_space=pltpu.VMEM),              # nu
         pl.BlockSpec((1, 4), lambda i, j: (0, 0), memory_space=pltpu.SMEM),  # scalars
     ]
     out_specs = [
-        pl.BlockSpec((TC, TS), big, memory_space=pltpu.VMEM),
-        pl.BlockSpec((TC, TS), big, memory_space=pltpu.VMEM),
-        pl.BlockSpec((TC, TS), big, memory_space=pltpu.VMEM),
+        pl.BlockSpec((tc, ts), big, memory_space=pltpu.VMEM),
+        pl.BlockSpec((tc, ts), big, memory_space=pltpu.VMEM),
+        pl.BlockSpec((tc, ts), big, memory_space=pltpu.VMEM),
     ]
     return pl.pallas_call(
         partial(

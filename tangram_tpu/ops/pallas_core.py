@@ -53,14 +53,15 @@ def _interpret() -> bool:
 
 
 def _spot_mask(s_actual: int, j, shape):
-    """(tc, ts) mask of valid spot columns for spot-tile index j."""
+    """Mask of valid spot columns for spot-tile index j (tile-size derived
+    from the block shape so kernels can run with any tile configuration)."""
     col = jax.lax.broadcasted_iota(jnp.int32, shape, dimension=1)
-    return (j * TS + col) < s_actual
+    return (j * shape[1] + col) < s_actual
 
 
 def _cell_mask(c_actual: int, i, shape):
     row = jax.lax.broadcasted_iota(jnp.int32, shape, dimension=0)
-    return (i * TC + row) < c_actual
+    return (i * shape[0] + row) < c_actual
 
 
 # ---------------------------------------------------------------------------
@@ -129,7 +130,7 @@ def _project_kernel(
     P = jnp.where(_spot_mask(s_actual, j, P.shape), P, 0.0)
     A = jnp.where(_cell_mask(c_actual, i, A_ref.shape), A_ref[...], 0.0)
     w_valid = (
-        i * TC + jax.lax.broadcasted_iota(jnp.int32, w_ref.shape, 1)
+        i * w_ref.shape[1] + jax.lax.broadcasted_iota(jnp.int32, w_ref.shape, 1)
     ) < c_actual
     wv = jnp.where(w_valid, w_ref[...], 0.0)
 
@@ -195,11 +196,11 @@ def _dp_tile(M_tile, m, l, A_tile, dY_tile, w_tile, dq_tile, dh_tile,
     logP = M_tile - m - jnp.log(l)
     A_tile = jnp.where(_cell_mask(c_actual, i, A_tile.shape), A_tile, 0.0)
     spot_rows = (
-        j * TS + jax.lax.broadcasted_iota(jnp.int32, dY_tile.shape, 0)
+        j * dY_tile.shape[0] + jax.lax.broadcasted_iota(jnp.int32, dY_tile.shape, 0)
     ) < s_actual
     dY_tile = jnp.where(spot_rows, dY_tile, 0.0)
     dq_cols = (
-        j * TS + jax.lax.broadcasted_iota(jnp.int32, dq_tile.shape, 1)
+        j * dq_tile.shape[1] + jax.lax.broadcasted_iota(jnp.int32, dq_tile.shape, 1)
     ) < s_actual
     dq_tile = jnp.where(dq_cols, dq_tile, 0.0)
     dP = jax.lax.dot_general(

@@ -405,7 +405,7 @@ def cross_val(
     one device round-trip. Set ``batched=False`` for the reference-style loop.
     """
     if batched == "auto":
-        batched = mode in ("clusters", "cells")
+        batched = mode in ("clusters", "cells", "constrained")
 
     if batched:
         return _cross_val_batched(
@@ -418,6 +418,9 @@ def cross_val(
             lambda_g1=lambda_g1,
             lambda_g2=lambda_g2,
             lambda_r=lambda_r,
+            lambda_count=lambda_count,
+            lambda_f_reg=lambda_f_reg,
+            target_count=target_count,
             num_epochs=num_epochs,
             learning_rate=learning_rate,
             cv_mode=cv_mode,
@@ -592,6 +595,9 @@ def _cross_val_batched(
     random_state,
     verbose,
     fold_batch_size,
+    lambda_count=1,
+    lambda_f_reg=1,
+    target_count=None,
 ):
     """All CV folds as one vmapped training batch (TPU-native path)."""
     import jax
@@ -608,6 +614,11 @@ def _cross_val_batched(
         lambda_d = 1
     if mode == "clusters" and cluster_label is None:
         raise ValueError("A cluster_label must be specified if mode is 'clusters'.")
+    constrained = mode == "constrained"
+    if constrained and not all([target_count, lambda_f_reg, lambda_count]):
+        raise ValueError(
+            "target_count, lambda_f_reg and lambda_count must be specified if mode is 'constrained'."
+        )
 
     adata_sc_orig = adata_sc
     if mode == "clusters":
@@ -626,8 +637,9 @@ def _cross_val_batched(
     elif isinstance(density_prior, str) and density_prior == "uniform":
         density_prior = adata_sp.obs["uniform_density"]
     d = density_prior
-    if mode == "clusters":
-        d_source = np.array(adata_sc.obs["cluster_density"])
+    if mode in ("clusters", "constrained"):
+        if mode == "clusters":
+            d_source = np.array(adata_sc.obs["cluster_density"])
         if d is None:
             d = adata_sp.obs["uniform_density"]
         if lambda_d is None or lambda_d == 0:
@@ -640,6 +652,8 @@ def _cross_val_batched(
         lambda_d=float(lambda_d),
         lambda_g2=float(lambda_g2),
         lambda_r=float(lambda_r),
+        lambda_count=float(lambda_count),
+        lambda_f_reg=float(lambda_f_reg),
     )
 
     folds = list(cv_data_gen(adata_sc, adata_sp, cv_mode))
@@ -652,34 +666,39 @@ def _cross_val_batched(
         test_idx_lists.append([gene_index[g] for g in test_genes])
 
     n_cells, n_spots = S.shape[0], G.shape[0]
-    M0 = init_logits(n_cells, n_spots, random_state, method="auto")
+    if constrained:
+        # replicate MapperConstrained's init stream (seed, discarded draw,
+        # M, F — mapping_optimizer.py:472-493)
+        if random_state:
+            np.random.seed(seed=random_state)
+        np.random.normal(0, 1, (n_cells, n_spots))
+        M0 = jnp.asarray(np.random.normal(0, 1, (n_cells, n_spots)), jnp.float32)
+        F0 = jnp.asarray(np.random.normal(0, 1, n_cells), jnp.float32)
+        params0 = (M0, F0)
+    else:
+        params0 = init_logits(n_cells, n_spots, random_state, method="auto")
 
     S_dev, G_dev = jnp.asarray(S), jnp.asarray(G)
     d_dev = None if d is None else jnp.asarray(d)
     dsrc_dev = None if d_source is None else jnp.asarray(d_source, dtype=jnp.float32)
+    tc_dev = jnp.float32(target_count) if constrained else None
 
     def run_chunk(mask_chunk):
         data = MapperData(
-            S=S_dev, G=G_dev, gene_mask=mask_chunk, d=d_dev, d_source=dsrc_dev
+            S=S_dev, G=G_dev, gene_mask=mask_chunk, d=d_dev, d_source=dsrc_dev,
+            target_count=tc_dev,
         )
-        in_axes = (
-            None,
-            MapperData(
-                S=None,
-                G=None,
-                gene_mask=0,
-                d=None if d_dev is None else None,
-                d_source=None,
-            ),
-        )
+        in_axes = (None, MapperData(S=None, G=None, gene_mask=0))
         fit = jax.vmap(
-            lambda m0, dat: fit_mapping(
-                m0, dat, lw, int(num_epochs), float(learning_rate)
+            lambda p0, dat: fit_mapping(
+                p0, dat, lw, int(num_epochs), float(learning_rate),
+                constrained=constrained,
             ),
             in_axes=in_axes,
         )
-        params, history = fit(M0, data)
-        P = jax.nn.softmax(params, axis=1)  # (folds, c, s)
+        params, history = fit(params0, data)
+        M_final = params[0] if constrained else params
+        P = jax.nn.softmax(M_final, axis=1)  # (folds, c, s)
         G_pred = jnp.einsum("fcs,cg->fsg", P, S_dev)
         # per-fold per-gene cosine score against measured G
         dots = jnp.sum(G_pred * G_dev[None], axis=1)

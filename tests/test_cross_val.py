@@ -1,0 +1,82 @@
+"""Cross-validation: batched-vs-loop equivalence across modes."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import tangram_tpu as tg
+
+
+@pytest.fixture
+def cv_adatas(rng):
+    n_cells, n_spots, n_genes = 30, 20, 12
+    centers = rng.normal(0, 1, (3, n_genes)) * 2
+    labels = rng.integers(0, 3, n_cells)
+    S = rng.poisson(np.exp(centers[labels] * 0.5) + 0.5).astype(np.float32)
+    G = rng.poisson(
+        np.exp(centers[rng.integers(0, 3, n_spots)] * 0.5) + 0.5
+    ).astype(np.float32)
+    ad_sc = tg.AnnData(
+        X=S,
+        obs=pd.DataFrame(
+            {"subclass_label": pd.Categorical([f"c{l}" for l in labels])},
+            index=[f"cell{i}" for i in range(n_cells)],
+        ),
+        var=pd.DataFrame(index=[f"g{i}" for i in range(n_genes)]),
+    )
+    ad_sp = tg.AnnData(
+        X=G,
+        obs=pd.DataFrame(index=[f"s{i}" for i in range(n_spots)]),
+        var=pd.DataFrame(index=[f"g{i}" for i in range(n_genes)]),
+    )
+    tg.pp_adatas(ad_sc, ad_sp)
+    return ad_sc, ad_sp
+
+
+@pytest.mark.parametrize("mode,extra", [
+    ("cells", {}),
+    ("clusters", {"cluster_label": "subclass_label"}),
+    ("constrained", {"target_count": 15, "density_prior": "uniform"}),
+])
+def test_batched_matches_loop(cv_adatas, mode, extra):
+    """Batched and loop CV agree. The math per fold is identical (same init,
+    same masked loss — asserted tightly at the loss level elsewhere), but
+    vmap changes XLA reduction order by ~1e-7/step, and on tiny
+    cluster-aggregated problems Adam amplifies that into different-but-
+    equivalent optima over many epochs — hence a quality-level tolerance on
+    the test score and a tight one on the train score."""
+    ad_sc, ad_sp = cv_adatas
+    kwargs = dict(mode=mode, cv_mode="10fold", num_epochs=40,
+                  random_state=42, verbose=False, **extra)
+    cv_b = tg.cross_val(ad_sc, ad_sp, batched=True, **kwargs)
+    cv_l = tg.cross_val(ad_sc, ad_sp, batched=False, **kwargs)
+    assert cv_b["avg_train_score"] == pytest.approx(cv_l["avg_train_score"], abs=2e-3)
+    # test-gene scores are evaluated at held-out genes where equivalent
+    # optima differ most; constrained mode's learned filter adds further
+    # multimodality — quality-level agreement is the contract
+    tol = 5e-2 if mode == "constrained" else 2e-2
+    assert cv_b["avg_test_score"] == pytest.approx(cv_l["avg_test_score"], abs=tol)
+
+
+def test_loo_return_gene_pred_batched(cv_adatas):
+    ad_sc, ad_sp = cv_adatas
+    cv_dict, ad_ge_cv, test_df = tg.cross_val(
+        ad_sc, ad_sp, mode="cells", cv_mode="loo", num_epochs=20,
+        random_state=1, return_gene_pred=True,
+    )
+    n_genes = len(ad_sc.uns["training_genes"])
+    assert ad_ge_cv.shape == (ad_sp.n_obs, n_genes)
+    assert len(test_df) == n_genes
+    assert "test_score" in ad_ge_cv.var.columns
+    assert (test_df["is_training"] == False).all()
+
+
+def test_cv_data_gen_modes(cv_adatas):
+    ad_sc, ad_sp = cv_adatas
+    folds_loo = list(tg.cv_data_gen(ad_sc, ad_sp, "loo"))
+    assert len(folds_loo) == len(ad_sc.uns["training_genes"])
+    assert all(len(test) == 1 for _, test in folds_loo)
+    folds_10 = list(tg.cv_data_gen(ad_sc, ad_sp, "10fold"))
+    assert len(folds_10) == 10
+    with pytest.raises(ValueError):
+        list(tg.cv_data_gen(ad_sc, ad_sp, "bogus"))
