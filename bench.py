@@ -78,6 +78,45 @@ def main():
         "epochs_per_s": round(epochs / elapsed, 2),
         "final_train_score": round(final_score, 4),
     }
+
+    if backend == "tpu":
+        # secondary: atlas scale on ONE chip (M alone is 5 GB; the reference's
+        # P/dP materialization cannot fit at this size on any 16 GB device)
+        try:
+            import gc
+
+            del params, history, M0, data
+            gc.collect()
+            c2, s2 = 50_000, 25_000
+            S2 = rng.poisson(1.0, (c2, N_GENES)).astype(np.float32)
+            G2 = rng.poisson(2.0, (s2, N_GENES)).astype(np.float32)
+            d2 = rng.random(s2).astype(np.float32)
+            d2 /= d2.sum()
+            data2 = MapperData(
+                S=jnp.asarray(S2), G=jnp.asarray(G2), d=jnp.asarray(d2)
+            )
+            M2 = init_logits(c2, s2, random_state=42, method="jax")
+            p2, h2 = fit_mapping(
+                M2, data2, lw, 20, 0.1, impl="pallas",
+                moment_dtype="bfloat16", donate=True,
+            )
+            _ = float(np.asarray(h2["total_loss"])[-1])
+            del p2, h2
+            gc.collect()
+            M2 = init_logits(c2, s2, random_state=42, method="jax")
+            t0 = time.perf_counter()
+            p2, h2 = fit_mapping(
+                M2, data2, lw, 20, 0.1, impl="pallas",
+                moment_dtype="bfloat16", donate=True,
+            )
+            _ = float(np.asarray(h2["total_loss"])[-1])
+            atlas = time.perf_counter() - t0
+            result["atlas_50k_cells_x_25k_spots_ms_per_step"] = round(
+                atlas / 20 * 1e3, 1
+            )
+        except Exception as err:  # atlas metric is best-effort
+            result["atlas_50k_cells_x_25k_spots_ms_per_step"] = f"failed: {type(err).__name__}"
+
     print(json.dumps(result))
 
 

@@ -104,20 +104,19 @@ def init_logits(
     return jax.random.normal(key, (n_cells, n_spots), dtype=dtype)
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "lw",
-        "num_epochs",
-        "constrained",
-        "with_val",
-        "impl",
-        "return_opt_state",
-        "fused",
-        "moment_dtype",
-    ),
+_FIT_STATIC_ARGNAMES = (
+    "lw",
+    "num_epochs",
+    "constrained",
+    "with_val",
+    "impl",
+    "return_opt_state",
+    "fused",
+    "moment_dtype",
 )
-def fit_mapping(
+
+
+def _fit_mapping_impl(
     params,
     data: MapperData,
     lw: LossWeights,
@@ -213,6 +212,26 @@ def fit_mapping(
     if return_opt_state:
         return params, opt_state, history
     return params, history
+
+
+_fit_mapping_jit = jax.jit(_fit_mapping_impl, static_argnames=_FIT_STATIC_ARGNAMES)
+_fit_mapping_donated = jax.jit(
+    _fit_mapping_impl,
+    static_argnames=_FIT_STATIC_ARGNAMES,
+    donate_argnames=("params", "opt_state"),
+)
+
+
+def fit_mapping(*args, donate: bool = False, **kwargs):
+    """Jitted :func:`_fit_mapping_impl` (see its docstring).
+
+    ``donate=True`` donates the incoming ``params``/``opt_state`` buffers to
+    the computation — at atlas scale (e.g. 50k × 25k, where M is 5 GB) the
+    undonated input would otherwise stay alive next to the training carry and
+    blow the HBM budget. The caller must not reuse donated arrays.
+    """
+    fn = _fit_mapping_donated if donate else _fit_mapping_jit
+    return fn(*args, **kwargs)
 
 
 def _final_softmax(M):
