@@ -355,6 +355,15 @@ def _read_elem(elem):
         codes = elem["codes"][()]
         return pd.Categorical.from_codes(codes, categories=[_decode(c) for c in np.asarray(categories)])
 
+    if enc in ("nullable-integer", "nullable-boolean") or (
+        "values" in elem and "mask" in elem
+    ):
+        values = np.asarray(elem["values"][()])
+        mask = np.asarray(elem["mask"][()]).astype(bool)
+        if enc == "nullable-boolean":
+            return pd.arrays.BooleanArray(values.astype(bool), mask)
+        return pd.arrays.IntegerArray(values.astype(np.int64), mask)
+
     if enc == "dataframe" or "_index" in elem.attrs:
         index_key = _decode(elem.attrs.get("_index", "_index"))
         order = [_decode(c) for c in elem.attrs.get("column-order", [])]
