@@ -15,7 +15,6 @@ the attribute surface is identical for the subset Tangram touches.
 
 from __future__ import annotations
 
-import collections.abc
 from typing import Any, Mapping
 
 import numpy as np

@@ -19,9 +19,9 @@ Two API layers:
 
 from __future__ import annotations
 
-import dataclasses
+
 import logging
-from functools import partial
+
 from typing import Optional
 
 import jax
