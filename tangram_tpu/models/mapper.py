@@ -412,29 +412,49 @@ class Mapper:
 
     def train(self, num_epochs, learning_rate=0.1, print_each=100, val_each=None):
         """Run the optimizer; returns ``(M_probs, training_history)`` exactly
-        like the reference ``Mapper.train`` (``mapping_optimizer.py:358-408``)."""
+        like the reference ``Mapper.train`` (``mapping_optimizer.py:358-408``).
+
+        With ``print_each`` set, the compiled scan runs in ``print_each``-sized
+        chunks (Adam state carried across — bit-exact with one scan) so the
+        per-epoch score lines stream live, as in the reference loop.
+        """
         if print_each:
             logging.info(f"Printing scores every {print_each} epochs.")
 
         with_val = val_each is not None
         val_data = MapperData(S=self._val_S, G=self._val_G)
+        num_epochs = int(num_epochs)
 
-        params, history = fit_mapping(
-            self.M,
-            self.data,
-            self.lw,
-            num_epochs=int(num_epochs),
+        common = dict(
             learning_rate=float(learning_rate),
             with_val=with_val,
             val_data=val_data if with_val else None,
             impl=self.impl,
         )
-        self.M = params
-        history = jax.device_get(history)
 
-        if print_each is not None:
-            for t in range(0, num_epochs, int(print_each)):
-                _print_epoch({k: v[t] for k, v in history.items()}, PRINT_NAMES)
+        if print_each is None:
+            params, history = fit_mapping(
+                self.M, self.data, self.lw, num_epochs=num_epochs, **common
+            )
+            history = jax.device_get(history)
+        else:
+            chunks = []
+            params, opt_state, epoch = self.M, None, 0
+            while epoch < num_epochs:
+                chunk = min(int(print_each), num_epochs - epoch)
+                params, opt_state, h = fit_mapping(
+                    params, self.data, self.lw, num_epochs=chunk,
+                    opt_state=opt_state, return_opt_state=True, **common,
+                )
+                h = jax.device_get(h)
+                _print_epoch({k: v[0] for k, v in h.items()}, PRINT_NAMES)
+                chunks.append(h)
+                epoch += chunk
+            history = {
+                k: np.concatenate([np.asarray(h[k]) for h in chunks])
+                for k in chunks[0]
+            }
+        self.M = params
 
         training_history = _as_history_lists(history, HISTORY_KEYS, num_epochs)
         for k in VAL_KEYS:

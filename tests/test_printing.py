@@ -1,0 +1,57 @@
+"""Verbose-output parity: score lines print live, in the reference's text
+format ("Gene-voxel score: 0.123, Cell densities reg: 0.456")."""
+
+import re
+
+import numpy as np
+import pytest
+
+from tangram_tpu.models.mapper import Mapper, MapperConstrained
+
+from _reference import load_reference_optimizer
+
+REF = load_reference_optimizer()
+
+
+@pytest.fixture
+def problem(rng):
+    S = (rng.poisson(2.0, (12, 8)) + 0.5).astype(np.float32)
+    G = (rng.poisson(3.0, (9, 8)) + 0.5).astype(np.float32)
+    d = np.full(9, 1 / 9, np.float32)
+    return S, G, d
+
+
+def test_print_lines_format_and_cadence(problem, capsys):
+    S, G, d = problem
+    mapper = Mapper(S=S, G=G, d=d, lambda_d=1.0, random_state=1)
+    mapper.train(num_epochs=25, learning_rate=0.1, print_each=10)
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) == 3  # epochs 0, 10, 20
+    for line in lines:
+        assert re.match(
+            r"Gene-voxel score: -?\d+\.\d{3}, Cell densities reg: -?\d+\.\d{3}", line
+        ), line
+
+
+@pytest.mark.skipif(REF is None, reason="reference torch optimizer unavailable")
+def test_print_text_matches_reference(problem, capsys):
+    """First-epoch verbose line is byte-identical to the reference's."""
+    S, G, d = problem
+
+    ref = REF.Mapper(S=S, G=G, d=d, lambda_d=1.0, random_state=7)
+    ref._loss_fn(verbose=True)
+    ref_line = capsys.readouterr().out.strip().splitlines()[0]
+
+    ours = Mapper(S=S, G=G, d=d, lambda_d=1.0, random_state=7)
+    ours._loss_fn(verbose=True)
+    our_line = capsys.readouterr().out.strip().splitlines()[0]
+
+    assert our_line == ref_line
+
+
+def test_constrained_print_format(problem, capsys):
+    S, G, d = problem
+    mapper = MapperConstrained(S=S, G=G, d=d, target_count=5, random_state=1)
+    mapper.train(num_epochs=5, learning_rate=0.1, print_each=5)
+    out = capsys.readouterr().out
+    assert "Score:" in out and "Count reg:" in out and "Lambda f reg:" in out
