@@ -163,7 +163,11 @@ def _fit_mapping_impl(
         return out
 
     if use_fused:
-        from ..ops.fused_step import fused_unconstrained_step, init_fused_opt_state
+        from ..ops.fused_step import (
+            fused_unconstrained_step,
+            init_fused_opt_state,
+            initial_stats,
+        )
 
         if opt_state is None:
             count, mu, nu = init_fused_opt_state(
@@ -172,17 +176,20 @@ def _fit_mapping_impl(
         else:
             adam_state = opt_state[0]
             count, mu, nu = adam_state.count, adam_state.mu, adam_state.nu
+        stats = initial_stats(params, lw)
 
         def step(carry, _):
-            M, count, mu, nu = carry
-            M_new, count_new, mu_new, nu_new, terms = fused_unconstrained_step(
-                M, count, mu, nu, data, lw, learning_rate
+            M, count, mu, nu, stats = carry
+            M_new, count_new, mu_new, nu_new, stats_new, terms = (
+                fused_unconstrained_step(
+                    M, count, mu, nu, stats, data, lw, learning_rate
+                )
             )
             out = maybe_val(M, dict(terms))
-            return (M_new, count_new, mu_new, nu_new), out
+            return (M_new, count_new, mu_new, nu_new, stats_new), out
 
-        (params, count, mu, nu), history = jax.lax.scan(
-            step, (params, count, mu, nu), None, length=num_epochs
+        (params, count, mu, nu, _), history = jax.lax.scan(
+            step, (params, count, mu, nu, stats), None, length=num_epochs
         )
         if return_opt_state:
             template = optimizer.init(params)

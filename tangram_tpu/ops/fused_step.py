@@ -115,8 +115,9 @@ def _rowstats_norms(M):
 def _dm_adam_kernel(
     M_ref, A_ref, dY_ref, w_ref, dq_ref, dh_ref, m_ref, l_ref, r_ref,
     mu_ref, nu_ref, sc_ref,
-    Mo_ref, muo_ref, nuo_ref,
+    Mo_ref, muo_ref, nuo_ref, mo_ref, lo_ref, uo_ref, s1o_ref, s2o_ref,
     *, c_actual: int, s_actual: int, lam_l1: float, lam_l2: float,
+    with_norms: bool,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -145,12 +146,48 @@ def _dm_adam_kernel(
     nu_new = BETA2 * nu_ref[...].astype(jnp.float32) + (1.0 - BETA2) * (g * g)
     m_hat = mu_new / bc1
     v_hat = nu_new / bc2
-    Mo_ref[...] = M_tile - lr * m_hat / (jnp.sqrt(v_hat) + ADAM_EPS)
+    M_new = M_tile - lr * m_hat / (jnp.sqrt(v_hat) + ADAM_EPS)
+    Mo_ref[...] = M_new
     muo_ref[...] = mu_new.astype(muo_ref.dtype)
     nuo_ref[...] = nu_new.astype(nuo_ref.dtype)
 
+    # Fused rowstats of M_new for the NEXT step (saves a full pass over M):
+    # same online max/sumexp accumulation as the standalone rowstats kernel,
+    # over the spot-tile (inner) grid dimension.
+    spot_valid = _spot_mask(s_actual, j, M_new.shape)
+    tile_m = jnp.where(spot_valid, M_new, NEG_BIG)
+    tile_max = jnp.max(tile_m, axis=1, keepdims=True)
 
-def _dm_adam(M, A, w, m, l, dY, dq, dh, r, mu, nu, scalars, lam_l1, lam_l2):
+    @pl.when(j == 0)
+    def _init_stats():
+        mo_ref[...] = jnp.full_like(mo_ref, NEG_BIG)
+        lo_ref[...] = jnp.zeros_like(lo_ref)
+        uo_ref[...] = jnp.zeros_like(uo_ref)
+        if with_norms:
+            s1o_ref[...] = jnp.zeros_like(s1o_ref)
+            s2o_ref[...] = jnp.zeros_like(s2o_ref)
+
+    m_old = mo_ref[...]
+    m_run = jnp.maximum(m_old, tile_max)
+    scale = jnp.exp(m_old - m_run)
+    e = jnp.where(spot_valid, jnp.exp(tile_m - m_run), 0.0)
+    lo_ref[...] = lo_ref[...] * scale + jnp.sum(e, axis=1, keepdims=True)
+    uo_ref[...] = uo_ref[...] * scale + jnp.sum(e * tile_m, axis=1, keepdims=True)
+    mo_ref[...] = m_run
+    if with_norms:
+        tile_z = jnp.where(spot_valid, M_new, 0.0)
+        s1o_ref[...] += jnp.sum(jnp.abs(tile_z), axis=1, keepdims=True)
+        s2o_ref[...] += jnp.sum(tile_z * tile_z, axis=1, keepdims=True)
+
+
+def _dm_adam(M, A, w, m, l, dY, dq, dh, r, mu, nu, scalars, lam_l1, lam_l2,
+             with_norms: bool):
+    """Backward + Adam + next-step rowstats, one streamed pass.
+
+    Returns (M_new, mu_new, nu_new, m', l', u'[, s1', s2']) where the primed
+    values are the softmax stats (and optional L1/L2 norms) of M_new, so the
+    next step skips its standalone rowstats pass entirely.
+    """
     c, s = M.shape
     k = A.shape[1]
     # This kernel streams 6 big (tc, ts) blocks (M/mu/nu in + out); at very
@@ -176,27 +213,40 @@ def _dm_adam(M, A, w, m, l, dY, dq, dh, r, mu, nu, scalars, lam_l1, lam_l2):
         pl.BlockSpec((tc, ts), big, memory_space=pltpu.VMEM),              # nu
         pl.BlockSpec((1, 4), lambda i, j: (0, 0), memory_space=pltpu.SMEM),  # scalars
     ]
+    n_stats = 5 if with_norms else 3
     out_specs = [
         pl.BlockSpec((tc, ts), big, memory_space=pltpu.VMEM),
         pl.BlockSpec((tc, ts), big, memory_space=pltpu.VMEM),
         pl.BlockSpec((tc, ts), big, memory_space=pltpu.VMEM),
-    ]
+    ] + [cell_stat] * n_stats
+    out_shape = [
+        jax.ShapeDtypeStruct((c, s), jnp.float32),
+        jax.ShapeDtypeStruct((c, s), mu.dtype),
+        jax.ShapeDtypeStruct((c, s), nu.dtype),
+    ] + [jax.ShapeDtypeStruct((c, 1), jnp.float32)] * n_stats
+
+    def kernel(*refs):
+        ins = refs[:12]
+        outs = refs[12:]
+        if with_norms:
+            _dm_adam_kernel(
+                *ins, *outs,
+                c_actual=c, s_actual=s, lam_l1=float(lam_l1),
+                lam_l2=float(lam_l2), with_norms=True,
+            )
+        else:
+            _dm_adam_kernel(
+                *ins, *outs, None, None,
+                c_actual=c, s_actual=s, lam_l1=float(lam_l1),
+                lam_l2=float(lam_l2), with_norms=False,
+            )
+
     return pl.pallas_call(
-        partial(
-            _dm_adam_kernel,
-            c_actual=c,
-            s_actual=s,
-            lam_l1=float(lam_l1),
-            lam_l2=float(lam_l2),
-        ),
+        kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
-        out_shape=[
-            jax.ShapeDtypeStruct((c, s), jnp.float32),
-            jax.ShapeDtypeStruct((c, s), mu.dtype),
-            jax.ShapeDtypeStruct((c, s), nu.dtype),
-        ],
+        out_shape=out_shape,
         input_output_aliases={0: 0, 9: 1, 10: 2},
         interpret=_interpret(),
     )(
@@ -242,29 +292,47 @@ def init_fused_opt_state(M, moment_dtype=jnp.float32):
     return jnp.zeros((), jnp.int32), zeros, zeros
 
 
+def initial_stats(M, lw: LossWeights):
+    """Softmax rowstats (+ optional L1/L2 norms) of M — the fused step's
+    carried statistics; subsequent steps produce them for free inside the
+    Adam kernel."""
+    if lw.lambda_l1 != 0 or lw.lambda_l2 != 0:
+        return tuple(_rowstats_norms(M))
+    from .pallas_core import _rowstats
+
+    return tuple(_rowstats(M))
+
+
 def fused_unconstrained_step(
     M,
     count,
     mu,
     nu,
+    stats,
     data: MapperData,
     lw: LossWeights,
     learning_rate,
 ):
-    """One fused Adam step; returns (M_new, count_new, mu_new, nu_new, terms)."""
+    """One fused Adam step.
+
+    ``stats`` are the carried softmax rowstats of M (from :func:`initial_stats`
+    or the previous step's fused output), so the step makes only 3 streamed
+    passes over M: projection, rbar, and backward+Adam (which also emits the
+    next step's stats).
+
+    Returns ``(M_new, count_new, mu_new, nu_new, stats_new, terms)``.
+    """
     A, w = unconstrained_inputs(M, data, lw)
     k_real = A.shape[1]
     A_p = _pad_k(A)
 
     need_norms = lw.lambda_l1 != 0 or lw.lambda_l2 != 0
     if need_norms:
-        m, l, u, s1, s2 = _rowstats_norms(M)
+        m, l, u, s1, s2 = stats
         l1_sum = jnp.sum(s1)
         l2_sum = jnp.sum(s2)
     else:
-        from .pallas_core import _rowstats
-
-        m, l, u = _rowstats(M)
+        m, l, u = stats
         l1_sum = l2_sum = None
 
     Y_p, q = _project(M, A_p, w, m, l)
@@ -289,8 +357,10 @@ def fused_unconstrained_step(
         [jnp.asarray(learning_rate, jnp.float32), bc1, bc2, jnp.float32(0)]
     ).reshape(1, 4)
 
-    M_new, mu_new, nu_new = _dm_adam(
+    out = _dm_adam(
         M, A_p, w, m, l, dY_p, dq, dh, r, mu, nu, scalars,
-        lw.lambda_l1, lw.lambda_l2,
+        lw.lambda_l1, lw.lambda_l2, with_norms=need_norms,
     )
-    return M_new, count_new, mu_new, nu_new, terms
+    M_new, mu_new, nu_new = out[:3]
+    stats_new = tuple(out[3:])
+    return M_new, count_new, mu_new, nu_new, stats_new, terms
