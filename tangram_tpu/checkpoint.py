@@ -119,6 +119,15 @@ def train_checkpointed(
         opt_state = jax.tree.map(lambda x: jax.numpy.asarray(x), opt_state)
 
     histories = [] if prefix_history is None else [prefix_history]
+
+    def merged_history():
+        out = {}
+        if histories:
+            for k in histories[-1]:
+                parts = [np.atleast_1d(np.asarray(h[k])) for h in histories if k in h]
+                out[k] = np.concatenate(parts) if parts else np.array([])
+        return out
+
     epoch = start_epoch
     while epoch < num_epochs:
         chunk = min(checkpoint_every, num_epochs - epoch)
@@ -136,11 +145,11 @@ def train_checkpointed(
         history = jax.device_get(history)
         histories.append({k: np.asarray(v) for k, v in history.items()})
         epoch += chunk
-        save(checkpoint_dir, epoch, jax.device_get(params), jax.device_get(opt_state), history)
+        # persist the CUMULATIVE history so a resumed run returns the full
+        # from-epoch-0 record, not just its own chunks
+        save(
+            checkpoint_dir, epoch, jax.device_get(params),
+            jax.device_get(opt_state), merged_history(),
+        )
 
-    merged = {}
-    if histories:
-        for k in histories[-1]:
-            parts = [h[k] for h in histories if k in h]
-            merged[k] = np.concatenate(parts) if parts else np.array([])
-    return params, merged
+    return params, merged_history()

@@ -57,8 +57,13 @@ def test_train_checkpointed_resume(problem, tmp_path):
     p_resumed, hist2 = checkpoint.train_checkpointed(
         M0, data, lw, 50, 0.1, checkpoint_dir=ckpt_dir, checkpoint_every=10
     )
-    p_50, _ = fit_mapping(M0, data, lw, 50, 0.1)
+    p_50, h_50 = fit_mapping(M0, data, lw, 50, 0.1)
     np.testing.assert_array_equal(np.asarray(p_resumed), np.asarray(p_50))
+    # resumed history covers the FULL run (restored prefix + new chunks)
+    assert len(hist2["total_loss"]) == 50
+    np.testing.assert_allclose(
+        hist2["total_loss"], np.asarray(h_50["total_loss"]), rtol=1e-6
+    )
 
 
 def test_restore_raises_when_empty(tmp_path):
