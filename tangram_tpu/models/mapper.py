@@ -113,6 +113,7 @@ _FIT_STATIC_ARGNAMES = (
     "return_opt_state",
     "fused",
     "moment_dtype",
+    "compute_dtype",
 )
 
 
@@ -130,6 +131,7 @@ def _fit_mapping_impl(
     return_opt_state: bool = False,
     fused: bool = True,
     moment_dtype: str = "float32",
+    compute_dtype: str = "float32",
 ):
     """Run ``num_epochs`` Adam steps; return (params, history-pytree).
 
@@ -182,7 +184,8 @@ def _fit_mapping_impl(
             M, count, mu, nu, stats = carry
             M_new, count_new, mu_new, nu_new, stats_new, terms = (
                 fused_unconstrained_step(
-                    M, count, mu, nu, stats, data, lw, learning_rate
+                    M, count, mu, nu, stats, data, lw, learning_rate,
+                    compute_dtype=jnp.dtype(compute_dtype),
                 )
             )
             out = maybe_val(M, dict(terms))

@@ -312,6 +312,7 @@ def fused_unconstrained_step(
     data: MapperData,
     lw: LossWeights,
     learning_rate,
+    compute_dtype=jnp.float32,
 ):
     """One fused Adam step.
 
@@ -324,7 +325,10 @@ def fused_unconstrained_step(
     """
     A, w = unconstrained_inputs(M, data, lw)
     k_real = A.shape[1]
-    A_p = _pad_k(A)
+    # compute_dtype=bfloat16 halves the kernels' A/dY block traffic and runs
+    # the dP/Y matmuls at the MXU's bf16 rate; P recompute, softmax stats and
+    # the Adam update stay f32 (accumulation is always f32).
+    A_p = _pad_k(A).astype(compute_dtype)
 
     need_norms = lw.lambda_l1 != 0 or lw.lambda_l2 != 0
     if need_norms:
@@ -345,7 +349,7 @@ def fused_unconstrained_step(
         lambda Y, q, h: epilogue(Y, q, h), Y_p[:, :k_real], q, h, has_aux=True
     )
     dY, dq, dh = vjp(jnp.ones_like(total))
-    dY_p = _pad_k(dY)
+    dY_p = _pad_k(dY).astype(compute_dtype)
 
     r = _rbar(M, A_p, w, m, l, dY_p, dq, dh)
 

@@ -139,8 +139,10 @@ def _project_kernel(
         Y_ref[...] = jnp.zeros_like(Y_ref)
         q_ref[...] = jnp.zeros_like(q_ref)
 
+    # A may arrive in bf16 (compute_dtype option): match P's dtype to feed
+    # the MXU at double rate; accumulation stays f32.
     Y_ref[...] += jax.lax.dot_general(
-        P, A,
+        P.astype(A.dtype), A,
         dimension_numbers=(((0,), (0,)), ((), ())),  # Pᵀ @ A
         preferred_element_type=jnp.float32,
     )

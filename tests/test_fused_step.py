@@ -70,6 +70,22 @@ def test_bf16_moments_track_f32(rng):
     np.testing.assert_allclose(np.asarray(p16), np.asarray(p32), atol=2e-2)
 
 
+def test_bf16_compute_tracks_f32(rng):
+    """bf16 A/dY matmul inputs (f32 accumulation) must track the f32
+    trajectory within bf16 input-rounding tolerance."""
+    lw = LossWeights(lambda_g1=1.0, lambda_d=1.0)
+    M0, data = make_problem(rng)
+    p32, h32 = fit_mapping(M0, data, lw, 30, 0.1, impl="pallas", fused=True)
+    p16, h16 = fit_mapping(
+        M0, data, lw, 30, 0.1, impl="pallas", fused=True,
+        compute_dtype="bfloat16", moment_dtype="bfloat16",
+    )
+    np.testing.assert_allclose(
+        np.asarray(h16["main_loss"]), np.asarray(h32["main_loss"]),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
 def test_fused_resume_opt_state(rng):
     lw = LossWeights(lambda_g1=1.0, lambda_d=1.0)
     M0, data = make_problem(rng)
