@@ -13,3 +13,7 @@ __all__ = [
     "fit_mapping_sharded",
     "train_step_sharded",
 ]
+
+from .fused_sharded import fit_mapping_fused_sharded  # noqa: E402
+
+__all__.append("fit_mapping_fused_sharded")
