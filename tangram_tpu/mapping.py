@@ -158,6 +158,7 @@ def map_cells_to_space(
     impl="auto",
     init_method="auto",
     graph_format="dense",
+    mesh=None,
 ):
     """Map single cells onto space; reference ``mapping_utils.py:141-427``.
 
@@ -168,8 +169,14 @@ def map_cells_to_space(
     TPU-native extensions: ``impl`` selects the fused Pallas kernel or plain
     XLA for the hot step; ``init_method`` chooses the numpy-compatible or
     on-device PRNG init; ``graph_format='knn'`` keeps spot graphs in
-    structured (s, k) form instead of dense s×s matrices for atlas scale.
+    structured (s, k) form instead of dense s×s matrices for atlas scale;
+    ``mesh`` (a jax Mesh) shards the whole training over multiple chips
+    (cells/clusters modes).
     """
+    if mesh is not None and mode == "constrained":
+        raise NotImplementedError(
+            "mesh sharding is not yet wired for constrained mode"
+        )
     if lambda_g1 == 0:
         raise ValueError("lambda_g1 cannot be 0.")
 
@@ -313,6 +320,7 @@ def map_cells_to_space(
             random_state=random_state,
             impl=impl,
             init_method=init_method,
+            mesh=mesh,
             **hyperparameters,
         )
         mapping_matrix, training_history = mapper.train(

@@ -304,10 +304,12 @@ class Mapper:
         init_method: str = "auto",
         impl: str = "auto",
         emulate_reference_val_quirk: bool = True,
+        mesh=None,
     ):
         del device  # JAX manages placement; kept for signature compatibility
         self.random_state = random_state
         self.impl = impl
+        self.mesh = mesh
 
         S = np.asarray(S, dtype=np.float32)
         G = np.asarray(G, dtype=np.float32)
@@ -434,6 +436,47 @@ class Mapper:
         with_val = val_each is not None
         val_data = MapperData(S=self._val_S, G=self._val_G)
         num_epochs = int(num_epochs)
+
+        if self.mesh is not None:
+            # multi-chip: shard over the mesh. Fused kernels when they
+            # support the configuration, GSPMD otherwise.
+            from ..parallel import fit_mapping_fused_sharded, fit_mapping_sharded
+
+            use_fused_mesh = (
+                not with_val
+                and self.lw.lambda_l1 == 0
+                and self.lw.lambda_l2 == 0
+                and self.M.shape[0] % int(np.prod(list(self.mesh.shape.values()))) == 0
+                and self.mesh.devices.ndim == 1
+            )
+            if use_fused_mesh:
+                params, history = fit_mapping_fused_sharded(
+                    self.M, self.data, self.lw, num_epochs,
+                    float(learning_rate), mesh=self.mesh,
+                )
+            else:
+                params, history = fit_mapping_sharded(
+                    self.M, self.data, self.lw, num_epochs,
+                    float(learning_rate), mesh=self.mesh,
+                    with_val=with_val,
+                    val_data=val_data if with_val else None,
+                )
+            self.M = params
+            history = jax.device_get(history)
+            if print_each is not None:
+                for t in range(0, num_epochs, int(print_each)):
+                    _print_epoch({k: v[t] for k, v in history.items()}, PRINT_NAMES)
+            training_history = _as_history_lists(history, HISTORY_KEYS, num_epochs)
+            for k in VAL_KEYS:
+                if with_val:
+                    vals = np.asarray(history[k])
+                    training_history[k] = [
+                        float(vals[t]) for t in range(0, num_epochs, int(val_each))
+                    ]
+                else:
+                    training_history[k] = []
+            output = np.asarray(jax.device_get(_final_softmax(self.M)))
+            return output, training_history
 
         common = dict(
             learning_rate=float(learning_rate),

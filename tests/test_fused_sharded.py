@@ -71,6 +71,33 @@ def test_fused_sharded_clusters_mode_with_ct(rng):
     np.testing.assert_allclose(np.asarray(p_sh), np.asarray(p_ref), atol=3e-4)
 
 
+def test_mesh_through_public_api(rng):
+    """map_cells_to_space(mesh=...) trains sharded and matches single-device."""
+    import pandas as pd
+
+    import tangram_tpu as tg
+
+    c, s, g = 64, 40, 16
+    S = (rng.poisson(2.0, (c, g)) + 1).astype(np.float32)
+    G = (rng.poisson(2.0, (s, g)) + 1).astype(np.float32)
+    ad_sc = tg.AnnData(X=S, obs=pd.DataFrame(index=[f"c{i}" for i in range(c)]),
+                       var=pd.DataFrame(index=[f"g{i}" for i in range(g)]))
+    ad_sp = tg.AnnData(X=G, var=pd.DataFrame(index=[f"g{i}" for i in range(g)]))
+    tg.pp_adatas(ad_sc, ad_sp)
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(-1), axis_names=("cell",))
+    m_mesh = tg.map_cells_to_space(ad_sc, ad_sp, num_epochs=25, random_state=42,
+                                   verbose=False, mesh=mesh)
+    m_single = tg.map_cells_to_space(ad_sc, ad_sp, num_epochs=25, random_state=42,
+                                     verbose=False)
+    np.testing.assert_allclose(m_mesh.X, m_single.X, atol=5e-4)
+
+    with pytest.raises(NotImplementedError, match="constrained"):
+        tg.map_cells_to_space(ad_sc, ad_sp, mode="constrained", target_count=30,
+                              mesh=mesh, num_epochs=5, verbose=False,
+                              density_prior="uniform")
+
+
 def test_fused_sharded_rejects_l1(rng):
     M0, data = make_problem(rng)
     with pytest.raises(NotImplementedError, match="lambda_l1"):
