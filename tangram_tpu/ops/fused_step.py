@@ -112,6 +112,21 @@ def _rowstats_norms(M):
 # ---------------------------------------------------------------------------
 
 
+def _pick_adam_tc(ts: int, k: int, moment_bytes: int, compute_bytes: int) -> int:
+    """Largest cell-tile that keeps the Adam kernel inside scoped VMEM.
+
+    Empirical model calibrated on v5e compile reports: scoped usage ≈
+    1.5 × (big block bytes) + 8.4 MB, where big blocks are M/mu/nu in+out
+    tiles plus the A and dY blocks. Budget the big blocks to ≤ 4.8 MB.
+    """
+    per_elem = 2 * (4 + 2 * moment_bytes)  # M in/out f32 + mu/nu in/out
+    for tc in (512, 384, 256, 128):
+        big = tc * ts * per_elem + (tc + ts) * k * compute_bytes
+        if big <= 4_800_000:
+            return tc
+    return 128
+
+
 def _dm_adam_kernel(
     M_ref, A_ref, dY_ref, w_ref, dq_ref, dh_ref, m_ref, l_ref, r_ref,
     mu_ref, nu_ref, sc_ref,
@@ -190,11 +205,8 @@ def _dm_adam(M, A, w, m, l, dY, dq, dh, r, mu, nu, scalars, lam_l1, lam_l2,
     """
     c, s = M.shape
     k = A.shape[1]
-    # This kernel streams 6 big (tc, ts) blocks (M/mu/nu in + out); at very
-    # large problems the 512-cell tile overflows the 16 MB scoped-VMEM stack,
-    # so drop to 256 cells past ~800M elements (measured on v5e).
-    tc = TC if c * s < 800_000_000 else 256
     ts = TS
+    tc = _pick_adam_tc(ts, k, mu.dtype.itemsize, A.dtype.itemsize)
     grid = (pl.cdiv(c, tc), pl.cdiv(s, ts))
 
     big = lambda i, j: (i, j)  # noqa: E731
