@@ -138,17 +138,22 @@ class AnnData:
     def _resolve_obs_indexer(self, key) -> np.ndarray:
         if isinstance(key, slice):
             return np.arange(self.n_obs)[key]
+        if isinstance(key, str):
+            key = [key]
         if isinstance(key, pd.Series):
             key = key.to_numpy()
-        key = np.asarray(key)
+        key = np.atleast_1d(np.asarray(key))
         if key.dtype == bool:
             if key.shape[0] != self.n_obs:
                 raise IndexError("boolean obs mask has wrong length")
             return np.where(key)[0]
         if key.dtype.kind in "iu":
             return key
-        # names
-        return self.obs.index.get_indexer(key.astype(str))
+        idx = self.obs.index.get_indexer(key.astype(str))
+        if (idx < 0).any():
+            missing = [o for o, i in zip(np.asarray(key), idx) if i < 0]
+            raise KeyError(f"obs names not found: {missing[:5]}")
+        return idx
 
     def _resolve_var_indexer(self, key) -> np.ndarray:
         if isinstance(key, slice):
@@ -157,7 +162,7 @@ class AnnData:
             key = [key]
         if isinstance(key, pd.Series):
             key = key.to_numpy()
-        key = np.asarray(key)
+        key = np.atleast_1d(np.asarray(key))
         if key.dtype == bool:
             if key.shape[0] != self.n_vars:
                 raise IndexError("boolean var mask has wrong length")

@@ -111,3 +111,18 @@ def test_copy_is_deep(rng):
     cp.obs.iloc[0, 1] = -1
     assert ad.X[0, 0] != 99
     assert ad.obs.iloc[0, 1] != -1
+
+
+def test_missing_obs_name_raises(rng):
+    ad = make_adata(rng)
+    with pytest.raises(KeyError, match="obs names not found"):
+        ad[["nope"]]
+
+
+def test_integer_scalar_indexing(rng):
+    ad = make_adata(rng)
+    sub = ad[2]
+    assert sub.n_obs == 1
+    np.testing.assert_array_equal(np.asarray(sub.X)[0], np.asarray(ad.X)[2])
+    sub2 = ad[:, 3]
+    assert sub2.n_vars == 1
