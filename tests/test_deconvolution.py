@@ -206,3 +206,19 @@ def test_knn_graph_format_in_mapping(rng):
     m_dense = tg.map_cells_to_space(ad_sc, ad_sp, graph_format="dense", **kwargs)
     m_knn = tg.map_cells_to_space(ad_sc, ad_sp, graph_format="knn", **kwargs)
     np.testing.assert_allclose(m_knn.X, m_dense.X, rtol=1e-3, atol=1e-5)
+
+
+def test_delaunay_spatial_neighbors(rng):
+    from tangram_tpu.spatial import spatial_neighbors
+
+    n = 30
+    ad_sp = tg.AnnData(X=np.ones((n, 3), np.float32))
+    ad_sp.obsm["spatial"] = rng.random((n, 2))
+    spatial_neighbors(ad_sp, delaunay=True)
+    conn = ad_sp.obsp["spatial_connectivities"]
+    dists = ad_sp.obsp["spatial_distances"]
+    assert conn.shape == (n, n)
+    assert conn.nnz > 0 and dists.nnz == conn.nnz
+    # Delaunay adjacency is symmetric
+    assert (conn != conn.T).nnz == 0
+    assert conn.diagonal().sum() == 0

@@ -55,3 +55,15 @@ def test_constrained_print_format(problem, capsys):
     mapper.train(num_epochs=5, learning_rate=0.1, print_each=5)
     out = capsys.readouterr().out
     assert "Score:" in out and "Count reg:" in out and "Lambda f reg:" in out
+
+
+def test_print_and_val_combined(problem, capsys):
+    """print_each chunking + val_each cadence work together."""
+    S, G, d = problem
+    mapper = Mapper(S=S, G=G, random_state=2)
+    out, hist = mapper.train(num_epochs=20, learning_rate=0.1,
+                             print_each=10, val_each=4)
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) == 2
+    assert len(hist["val_gene_sim"]) == 5  # epochs 0,4,8,12,16
+    assert len(hist["total_loss"]) == 20
