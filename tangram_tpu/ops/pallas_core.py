@@ -40,11 +40,12 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["mapper_core_pallas"]
 
 # Tile sizes: multiples of the f32 (8, 128) base tile. Measured on v5e at the
-# tutorial workload: 512×512 beats 256×512 by ~10% (fewer cell tiles → fewer
-# refetches of the (spots, genes) cotangent block); 1024×512 and 512×1024
-# overflow VMEM in the fused backward+Adam kernel.
+# tutorial workload (paired A/Bs): 512-cell tiles beat 256 by ~10% (fewer
+# refetches of the (spots, genes) cotangent block), and 768-spot tiles beat
+# 512 by ~5%. The fused backward+Adam kernel independently shrinks its cell
+# tile to fit scoped VMEM (see fused_step._pick_adam_tc).
 TC = 512  # cells per tile
-TS = 512  # spots per tile
+TS = 768  # spots per tile
 NEG_BIG = -1e30
 
 
