@@ -152,7 +152,7 @@ def _fit_mapping_impl(
     from ..ops.core import resolve_impl
 
     resolved = resolve_impl(impl, params[0].shape if constrained else params.shape)
-    use_fused = fused and (not constrained) and resolved == "pallas"
+    use_fused = fused and resolved == "pallas"
 
     optimizer = make_adam(learning_rate)
 
@@ -163,6 +163,49 @@ def _fit_mapping_impl(
                 val_metrics(M, vdata.S, vdata.G, vdata.gene_mask, impl=resolved)
             )
         return out
+
+    if use_fused and constrained:
+        from ..ops.fused_step import fused_constrained_step
+        from ..ops.pallas_core import _rowstats
+
+        M0, F0 = params
+        if opt_state is None:
+            count = jnp.zeros((), jnp.int32)
+            mu = jnp.zeros(M0.shape, jnp.dtype(moment_dtype))
+            nu = jnp.zeros(M0.shape, jnp.dtype(moment_dtype))
+            muF = jnp.zeros(F0.shape, jnp.float32)
+            nuF = jnp.zeros(F0.shape, jnp.float32)
+        else:
+            adam_state = opt_state[0]
+            count = adam_state.count
+            mu, muF = adam_state.mu
+            nu, nuF = adam_state.nu
+        stats = tuple(_rowstats(M0))
+
+        def step(carry, _):
+            (M, F), count, (mu, muF), (nu, nuF), stats = carry
+            new_params, count_new, mus, nus, stats_new, terms = (
+                fused_constrained_step(
+                    M, F, count, mu, nu, muF, nuF, stats, data, lw,
+                    learning_rate, compute_dtype=jnp.dtype(compute_dtype),
+                )
+            )
+            out = maybe_val(M, dict(terms))
+            return (new_params, count_new, mus, nus, stats_new), out
+
+        (params, count, (mu, muF), (nu, nuF), _), history = jax.lax.scan(
+            step,
+            ((M0, F0), count, (mu, muF), (nu, nuF), stats),
+            None,
+            length=num_epochs,
+        )
+        if return_opt_state:
+            template = optimizer.init(params)
+            opt_state = (
+                template[0]._replace(count=count, mu=(mu, muF), nu=(nu, nuF)),
+            ) + tuple(template[1:])
+            return params, opt_state, history
+        return params, history
 
     if use_fused:
         from ..ops.fused_step import (
@@ -442,12 +485,22 @@ class Mapper:
             # support the configuration, GSPMD otherwise.
             from ..parallel import fit_mapping_fused_sharded, fit_mapping_sharded
 
+            spot_sharded = (
+                "spot" in self.mesh.axis_names and self.mesh.shape["spot"] > 1
+            )
+            has_spatial_terms = (
+                self.lw.lambda_neighborhood_g1 != 0
+                or self.lw.lambda_ct_islands != 0
+                or self.lw.lambda_getis_ord != 0
+                or self.lw.lambda_moran != 0
+                or self.lw.lambda_geary != 0
+            )
             use_fused_mesh = (
-                not with_val
+                "cell" in self.mesh.axis_names
+                and not with_val
                 and self.lw.lambda_l1 == 0
                 and self.lw.lambda_l2 == 0
-                and self.M.shape[0] % int(np.prod(list(self.mesh.shape.values()))) == 0
-                and self.mesh.devices.ndim == 1
+                and not (spot_sharded and has_spatial_terms)
             )
             if use_fused_mesh:
                 params, history = fit_mapping_fused_sharded(
@@ -548,10 +601,12 @@ class MapperConstrained:
         random_state=None,
         init_method: str = "auto",
         impl: str = "auto",
+        mesh=None,
     ):
         del device
         self.random_state = random_state
         self.impl = impl
+        self.mesh = mesh
 
         S = np.asarray(S, dtype=np.float32)
         G = np.asarray(G, dtype=np.float32)
@@ -622,15 +677,33 @@ class MapperConstrained:
 
     def train(self, num_epochs, learning_rate=0.1, print_each=100):
         """Returns ``(M_probs, F_probs, training_history)``."""
-        params, history = fit_mapping(
-            (self.M, self.F),
-            self.data,
-            self.lw,
-            num_epochs=int(num_epochs),
-            learning_rate=float(learning_rate),
-            constrained=True,
-            impl=self.impl,
-        )
+        num_epochs = int(num_epochs)
+        if self.mesh is not None:
+            from ..parallel import fit_mapping_fused_sharded, fit_mapping_sharded
+
+            spot_sharded = (
+                "spot" in self.mesh.axis_names and self.mesh.shape["spot"] > 1
+            )
+            if "cell" in self.mesh.axis_names and not spot_sharded:
+                params, history = fit_mapping_fused_sharded(
+                    (self.M, self.F), self.data, self.lw, num_epochs,
+                    float(learning_rate), mesh=self.mesh,
+                )
+            else:
+                params, history = fit_mapping_sharded(
+                    (self.M, self.F), self.data, self.lw, num_epochs,
+                    float(learning_rate), mesh=self.mesh, constrained=True,
+                )
+        else:
+            params, history = fit_mapping(
+                (self.M, self.F),
+                self.data,
+                self.lw,
+                num_epochs=num_epochs,
+                learning_rate=float(learning_rate),
+                constrained=True,
+                impl=self.impl,
+            )
         self.M, self.F = params
         history = jax.device_get(history)
 

@@ -35,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .losses import (
     LossWeights,
     MapperData,
+    constrained_epilogue,
     unconstrained_epilogue,
     unconstrained_inputs,
 )
@@ -51,13 +52,18 @@ from .pallas_core import (
     _spot_mask,
 )
 
-__all__ = ["fused_unconstrained_step", "init_fused_opt_state", "fused_supported"]
+__all__ = [
+    "fused_unconstrained_step",
+    "fused_constrained_step",
+    "init_fused_opt_state",
+    "fused_supported",
+]
 
 BETA1, BETA2, ADAM_EPS = 0.9, 0.999, 1e-8
 
 
 def fused_supported(lw: LossWeights, constrained: bool) -> bool:
-    return not constrained
+    return True
 
 
 # ---------------------------------------------------------------------------
@@ -380,3 +386,100 @@ def fused_unconstrained_step(
     M_new, mu_new, nu_new = out[:3]
     stats_new = tuple(out[3:])
     return M_new, count_new, mu_new, nu_new, stats_new, terms
+
+
+def _adam_vector(x, g, mu, nu, lr, bc1, bc2):
+    """Exact torch/optax Adam on a small dense parameter (the F filter)."""
+    mu_new = BETA1 * mu + (1.0 - BETA1) * g
+    nu_new = BETA2 * nu + (1.0 - BETA2) * (g * g)
+    x_new = x - lr * (mu_new / bc1) / (jnp.sqrt(nu_new / bc2) + ADAM_EPS)
+    return x_new, mu_new, nu_new
+
+
+def fused_constrained_step(
+    M,
+    F,
+    count,
+    mu,
+    nu,
+    muF,
+    nuF,
+    stats,
+    data: MapperData,
+    lw: LossWeights,
+    learning_rate,
+    compute_dtype=jnp.float32,
+):
+    """One fused Adam step for the constrained mapper (M and the filter F).
+
+    Reference semantics: ``MapperConstrained._loss_fn``
+    (``mapping_optimizer.py:495-587``), Adam over ``[M, F]`` (``:607``).
+
+    M rides the same 3-pass fused pipeline as the unconstrained step with
+    ``A = S ⊙ σ(F)`` and ``w = σ(F)``. F's gradient needs *no extra pass over
+    M*: both its A-path and q-path contributions scale linearly in
+    ``w = σ(F)``, so they are recoverable from the rbar reduction already
+    computed for the softmax VJP::
+
+        r_c   = Σ_s P·dP = w_c·(dL/dw_c)|_{A,q-paths} + dh_c·(h_c + 1)
+        dL/dF = dF_direct + σ'(F)/w · (r − dh·(h+1))
+              = dF_direct + (1 − w) · (r − dh·(h+1))
+
+    where dF_direct (count/f_reg/density-denominator terms) comes from the
+    epilogue vjp. F's own Adam update is an O(cells) vector op.
+
+    Returns ``((M_new, F_new), count_new, (mu, muF), (nu, nuF), stats_new,
+    terms)``.
+    """
+    w = jax.nn.sigmoid(F)
+    S = data.S
+    if data.gene_mask is not None:
+        S = S * data.gene_mask[None, :]
+    A = S * w[:, None]
+    k_real = A.shape[1]
+    A_p = _pad_k(A).astype(compute_dtype)
+
+    m, l, u = stats
+    Y_p, q = _project(M, A_p, w, m, l)
+    h = (u[:, 0] / l[:, 0]) - m[:, 0] - jnp.log(l[:, 0])
+    h_sum = jnp.sum(h)
+
+    total, vjp, terms = jax.vjp(
+        lambda Y, qq, hs, FF: constrained_epilogue(Y, qq, hs, FF, data, lw),
+        Y_p[:, :k_real],
+        q,
+        h_sum,
+        F,
+        has_aux=True,
+    )
+    dY, dq, dhs, dF_direct = vjp(jnp.ones_like(total))
+    dY_p = _pad_k(dY).astype(compute_dtype)
+    dh = jnp.broadcast_to(dhs, (M.shape[0],))
+
+    r = _rbar(M, A_p, w, m, l, dY_p, dq, dh)
+    gF = dF_direct + (1.0 - w) * (r[:, 0] - dh * (h + 1.0))
+
+    count_new = count + 1
+    t = count_new.astype(jnp.float32)
+    bc1 = 1.0 - BETA1 ** t
+    bc2 = 1.0 - BETA2 ** t
+    scalars = jnp.stack(
+        [jnp.asarray(learning_rate, jnp.float32), bc1, bc2, jnp.float32(0)]
+    ).reshape(1, 4)
+
+    M_new, mu_new, nu_new, m2, l2, u2 = _dm_adam(
+        M, A_p, w, m, l, dY_p, dq, dh, r, mu, nu, scalars, 0.0, 0.0,
+        with_norms=False,
+    )
+    F_new, muF_new, nuF_new = _adam_vector(
+        F, gF, muF.astype(jnp.float32), nuF.astype(jnp.float32),
+        jnp.asarray(learning_rate, jnp.float32), bc1, bc2,
+    )
+    return (
+        (M_new, F_new),
+        count_new,
+        (mu_new, muF_new.astype(muF.dtype)),
+        (nu_new, nuF_new.astype(nuF.dtype)),
+        (m2, l2, u2),
+        terms,
+    )

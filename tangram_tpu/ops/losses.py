@@ -37,6 +37,7 @@ __all__ = [
     "spatial_local_indicators",
     "compute_loss",
     "compute_constrained_loss",
+    "constrained_epilogue",
     "unconstrained_inputs",
     "unconstrained_epilogue",
     "val_metrics",
@@ -102,9 +103,15 @@ def cosine_similarity(x, y, axis: int = 0, eps: float = COSINE_EPS):
 
 def kl_div_sum(log_pred, target):
     """torch ``KLDivLoss(reduction='sum')``: sum of target·(log target − log_pred),
-    with 0·log 0 := 0 (reference ``mapping_optimizer.py:122,218``)."""
-    xlogx = jnp.where(target > 0, target * jnp.log(jnp.where(target > 0, target, 1.0)), 0.0)
-    return jnp.sum(xlogx - target * log_pred)
+    with 0·log 0 := 0 (reference ``mapping_optimizer.py:122,218``).
+
+    Zero-target entries contribute exactly 0 even when ``log_pred`` is −inf
+    there — required for padded spot rows in the sharded paths, identical
+    everywhere real priors are strictly positive."""
+    pos = target > 0
+    xlogx = jnp.where(pos, target * jnp.log(jnp.where(pos, target, 1.0)), 0.0)
+    cross = jnp.where(pos, target * log_pred, 0.0)
+    return jnp.sum(xlogx - cross)
 
 
 def _masked_mean(values, mask):
@@ -308,14 +315,37 @@ def compute_constrained_loss(params, data: MapperData, lw: LossWeights, impl: st
     ``mapping_optimizer.py:495-587``)."""
     M, F = params
     F_probs = jax.nn.sigmoid(F)
-    S, G, mask = data.S, data.G, data.gene_mask
-    if mask is not None:
-        S = S * mask[None, :]
-        G = G * mask[None, :]
-
+    S = data.S
+    if data.gene_mask is not None:
+        S = S * data.gene_mask[None, :]
     A = S * F_probs[:, None]
     Y, q, h = mapper_core(M, A, F_probs, impl=impl)
+    return constrained_epilogue(Y, q, jnp.sum(h), F, data, lw)
+
+
+def constrained_epilogue(Y, q, h_sum, F, data: MapperData, lw: LossWeights, axis=None):
+    """Constrained-loss tail, downstream of the fused core.
+
+    Takes the projection ``Y = Pᵀ(S ⊙ σ(F))``, the filtered marginal
+    ``q = σ(F) P``, the total negative map entropy ``h_sum = Σ P log P`` and
+    the raw filter logits ``F`` as *independent* inputs — so the fused-Adam
+    path can ``jax.vjp`` this epilogue alone and recover (dY, dq, dh, and the
+    direct part of dF); F's indirect gradient through A and q is reconstructed
+    from the streamed rbar pass (see ``ops/fused_step.py``).
+
+    Under ``shard_map`` with F sharded over mesh axis ``axis``, the F
+    reductions (count target, Boolean-ness penalty, density denominator)
+    become psums so every shard sees the global loss.
+    """
+    F_probs = jax.nn.sigmoid(F)
+    G, mask = data.G, data.gene_mask
+    if mask is not None:
+        G = G * mask[None, :]
     G_pred = Y
+
+    def fsum(x):
+        local = jnp.sum(x)
+        return jax.lax.psum(local, axis) if axis is not None else local
 
     terms = {}
 
@@ -329,7 +359,7 @@ def compute_constrained_loss(params, data: MapperData, lw: LossWeights, impl: st
 
     if data.d is not None:
         # filtered marginal: (P ⊙ F).sum(cells) == F @ P == q  (:512-514)
-        d_pred = jnp.log(q / jnp.sum(F_probs))
+        d_pred = jnp.log(q / fsum(F_probs))
         density_term = lw.lambda_d * kl_div_sum(d_pred, data.d)
         terms["kl_reg"] = density_term / lw.lambda_d if lw.lambda_d != 0 else jnp.float32(jnp.nan)
     else:
@@ -339,17 +369,17 @@ def compute_constrained_loss(params, data: MapperData, lw: LossWeights, impl: st
     # NOTE sign quirk (:526): the constrained mapper reports sum(P log P)
     # (negative entropy) where the plain mapper reports -sum(P log P); the
     # effective total-loss contribution (+lambda_r * entropy) is identical.
-    entropy_term = lw.lambda_r * jnp.sum(h)
+    entropy_term = lw.lambda_r * h_sum
     terms["entropy_reg"] = (
         entropy_term / lw.lambda_r if lw.lambda_r != 0 else jnp.float32(jnp.nan)
     )
 
-    count_term = lw.lambda_count * jnp.abs(jnp.sum(F_probs) - data.target_count)
+    count_term = lw.lambda_count * jnp.abs(fsum(F_probs) - data.target_count)
     terms["count_reg"] = (
         count_term / lw.lambda_count if lw.lambda_count != 0 else jnp.float32(jnp.nan)
     )
 
-    f_reg = lw.lambda_f_reg * jnp.sum(F_probs - F_probs * F_probs)
+    f_reg = lw.lambda_f_reg * fsum(F_probs - F_probs * F_probs)
     terms["lambda_f_reg"] = (
         f_reg / lw.lambda_f_reg if lw.lambda_f_reg != 0 else jnp.float32(jnp.nan)
     )

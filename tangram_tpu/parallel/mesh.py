@@ -128,21 +128,28 @@ def _put(x, sharding):
     return jax.device_put(x, sharding)
 
 
-def shard_mapping(M, data: MapperData, mesh: Mesh):
-    """Place M and every populated MapperData leaf onto the mesh."""
+def shard_mapping(params, data: MapperData, mesh: Mesh):
+    """Place the parameters and every populated MapperData leaf onto the mesh.
+
+    ``params`` is M (unconstrained) or ``(M, F)`` (constrained); M is 2-D
+    sharded, the per-cell filter F rides the "cell" axis."""
     m_sharding, data_sharding = mapping_shardings(mesh)
-    M = _put(M, m_sharding)
+    if isinstance(params, tuple):
+        M, F = params
+        params = (_put(M, m_sharding), _put(F, NamedSharding(mesh, P("cell"))))
+    else:
+        params = _put(params, m_sharding)
     data = MapperData(
         *(
             _put(value, sharding)
             for value, sharding in zip(tuple(data), tuple(data_sharding))
         )
     )
-    return M, data
+    return params, data
 
 
 def fit_mapping_sharded(
-    M,
+    params,
     data: MapperData,
     lw,
     num_epochs: int,
@@ -155,12 +162,17 @@ def fit_mapping_sharded(
     GSPMD propagates the input shardings through the whole scan — M (and its
     Adam moments) stay 2-D sharded, and XLA emits psums over the "cell" axis
     for the projection and over the "spot" axis for the softmax/cosine
-    reductions.
+    reductions. Pass ``params=(M, F)`` with ``constrained=True`` for the
+    constrained mapper (F sharded over "cell").
     """
     if mesh is None:
         mesh = make_mesh()
-    M, data = shard_mapping(M, data, mesh)
-    return fit_mapping(M, data, lw, num_epochs, learning_rate, **kwargs)
+    # GSPMD cannot partition a pallas_call: force the XLA core so the whole
+    # scan stays partitionable (the fused-kernel mesh path lives in
+    # fused_sharded.py behind shard_map instead).
+    kwargs.setdefault("impl", "xla")
+    params, data = shard_mapping(params, data, mesh)
+    return fit_mapping(params, data, lw, num_epochs, learning_rate, **kwargs)
 
 
 def train_step_sharded(M, data: MapperData, lw, learning_rate: float, mesh: Mesh):

@@ -1,5 +1,6 @@
-"""Multi-chip fused-kernel path: shard_map over the cell axis must match
-single-device training (same kernels, psums over the mesh)."""
+"""Multi-chip fused-kernel path: shard_map over the cell axis (and the 2-D
+cell×spot grid) must match single-device training — same kernels, psums over
+the mesh, padding when the problem doesn't divide the mesh."""
 
 import numpy as np
 import pytest
@@ -27,6 +28,10 @@ def make_problem(rng, c=64, s=48, g=10, with_d=True):
     return init_logits(c, s, 5, "numpy"), data
 
 
+def cell_mesh(n):
+    return Mesh(np.asarray(jax.devices()[:n]).reshape(-1), axis_names=("cell",))
+
+
 @pytest.mark.parametrize("lw", [
     LossWeights(lambda_g1=1.0),
     LossWeights(lambda_g1=1.0, lambda_d=1.0, lambda_g2=0.5, lambda_r=0.01),
@@ -35,8 +40,7 @@ def test_fused_sharded_matches_single_device(rng, lw):
     M0, data = make_problem(rng, with_d=lw.lambda_d > 0)
     p_ref, h_ref = fit_mapping(M0, data, lw, 20, 0.1, impl="pallas", fused=True)
 
-    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(-1), axis_names=("cell",))
-    p_sh, h_sh = fit_mapping_fused_sharded(M0, data, lw, 20, 0.1, mesh=mesh)
+    p_sh, h_sh = fit_mapping_fused_sharded(M0, data, lw, 20, 0.1, mesh=cell_mesh(8))
 
     np.testing.assert_allclose(
         np.asarray(h_sh["total_loss"]), np.asarray(h_ref["total_loss"]),
@@ -62,8 +66,7 @@ def test_fused_sharded_clusters_mode_with_ct(rng):
     lw = LossWeights(lambda_g1=1.0, lambda_d=1.0, lambda_ct_islands=0.4)
 
     p_ref, h_ref = fit_mapping(M0, data, lw, 15, 0.1, impl="pallas", fused=True)
-    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(-1), axis_names=("cell",))
-    p_sh, h_sh = fit_mapping_fused_sharded(M0, data, lw, 15, 0.1, mesh=mesh)
+    p_sh, h_sh = fit_mapping_fused_sharded(M0, data, lw, 15, 0.1, mesh=cell_mesh(4))
     np.testing.assert_allclose(
         np.asarray(h_sh["total_loss"]), np.asarray(h_ref["total_loss"]),
         rtol=2e-4, atol=2e-5,
@@ -71,8 +74,119 @@ def test_fused_sharded_clusters_mode_with_ct(rng):
     np.testing.assert_allclose(np.asarray(p_sh), np.asarray(p_ref), atol=3e-4)
 
 
+def test_fused_sharded_pads_indivisible_cells(rng):
+    """n_cells that doesn't divide the mesh is zero-padded, not rejected."""
+    M0, data = make_problem(rng, c=30)
+    lw = LossWeights(lambda_g1=1.0, lambda_d=1.0)
+    p_ref, h_ref = fit_mapping(M0, data, lw, 15, 0.1, impl="pallas", fused=True)
+    p_sh, h_sh = fit_mapping_fused_sharded(M0, data, lw, 15, 0.1, mesh=cell_mesh(8))
+    assert p_sh.shape == p_ref.shape
+    np.testing.assert_allclose(
+        np.asarray(h_sh["total_loss"]), np.asarray(h_ref["total_loss"]),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(np.asarray(p_sh), np.asarray(p_ref), atol=2e-4)
+
+
+def test_fused_sharded_constrained_matches_single_device(rng):
+    """(M, F) constrained training sharded over cells == single device.
+
+    target_count is set above n_cells so |Σσ(F) − target| never crosses its
+    kink mid-test: at the kink a 1-ulp difference in the psum'd filter total
+    flips the sign one step apart and the (still individually correct)
+    trajectories separate chaotically.
+    """
+    c, s = 48, 36
+    M0, data = make_problem(rng, c=c, s=s)
+    data = data._replace(target_count=jnp.float32(200.0))
+    F0 = jnp.asarray(rng.normal(size=c), jnp.float32)
+    lw = LossWeights(lambda_g1=1.0, lambda_d=1.0,
+                     lambda_count=1.0, lambda_f_reg=1.0)
+
+    p_ref, h_ref = fit_mapping((M0, F0), data, lw, 20, 0.1, constrained=True,
+                               impl="pallas", fused=True)
+    (M_sh, F_sh), h_sh = fit_mapping_fused_sharded(
+        (M0, F0), data, lw, 20, 0.1, mesh=cell_mesh(8)
+    )
+    np.testing.assert_allclose(
+        np.asarray(h_sh["total_loss"]), np.asarray(h_ref["total_loss"]),
+        rtol=2e-4, atol=2e-5,
+    )
+    # raw logits: a few near-zero-gradient entries take ±lr Adam steps in
+    # different directions under reordered psums; probabilities stay tight
+    np.testing.assert_allclose(
+        np.asarray(jax.nn.softmax(M_sh, axis=1)),
+        np.asarray(jax.nn.softmax(p_ref[0], axis=1)), atol=5e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.nn.sigmoid(F_sh)),
+        np.asarray(jax.nn.sigmoid(p_ref[1])), atol=2e-3,
+    )
+
+
+def test_fused_sharded_2d_matches_single_device(rng):
+    """Block-sharded (cell × spot) fused training == single device, with
+    padding on both axes. λ_r is exercised separately by the gradient
+    identity test below: the entropy gradient crosses zero inside every row,
+    and Adam's sign(g)-sized first steps amplify 1-ulp reduction-order
+    differences on those entries into divergent (individually correct)
+    trajectories.
+    """
+    M0, data = make_problem(rng, c=30, s=42)
+    lw = LossWeights(lambda_g1=1.0, lambda_d=1.0, lambda_g2=0.5)
+    p_ref, h_ref = fit_mapping(M0, data, lw, 15, 0.1, impl="pallas", fused=True)
+
+    devs = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh2d = Mesh(devs, axis_names=("cell", "spot"))
+    p_sh, h_sh = fit_mapping_fused_sharded(M0, data, lw, 15, 0.1, mesh=mesh2d)
+    assert p_sh.shape == p_ref.shape
+    np.testing.assert_allclose(
+        np.asarray(h_sh["total_loss"]), np.asarray(h_ref["total_loss"]),
+        rtol=2e-4, atol=2e-5,
+    )
+    np.testing.assert_allclose(np.asarray(p_sh), np.asarray(p_ref), atol=5e-3)
+
+
+def test_2d_entropy_gradient_identity(rng):
+    """The 2-D path's entropy machinery — rowstats merged across spot shards,
+    rbar psum'd over "spot", dM = P(dP − r) — must reproduce the autodiff
+    gradient of Σ_c Σ_s P log P exactly."""
+    from jax.sharding import PartitionSpec as P
+
+    from tangram_tpu.ops.fused_step import _rbar
+    from tangram_tpu.ops.pallas_core import _rowstats
+    from tangram_tpu.parallel.fused_sharded import _merge_rowstats, _shard_map
+
+    c, s = 16, 24
+    M0 = jnp.asarray(rng.normal(size=(c, s)), jnp.float32)
+    truth = jax.grad(
+        lambda M: jnp.sum(jax.nn.softmax(M, 1) * jax.nn.log_softmax(M, 1))
+    )(M0)
+
+    devs = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, axis_names=("cell", "spot"))
+
+    def run(M_l):
+        m, l, u = _merge_rowstats(*_rowstats(M_l), "spot")
+        zeros_k = jnp.zeros((M_l.shape[0], 128), jnp.float32)
+        dY = jnp.zeros((M_l.shape[1], 128), jnp.float32)
+        dq = jnp.zeros((M_l.shape[1],), jnp.float32)
+        dh = jnp.ones((M_l.shape[0],), jnp.float32)
+        w = jnp.zeros((M_l.shape[0],), jnp.float32)
+        r = jax.lax.psum(_rbar(M_l, zeros_k, w, m, l, dY, dq, dh), "spot")
+        P_loc = jnp.exp(M_l - m) / l
+        logP = M_l - m - jnp.log(l)
+        return P_loc * ((logP + 1.0) - r)
+
+    dM = _shard_map(
+        run, mesh, in_specs=(P("cell", "spot"),), out_specs=P("cell", "spot")
+    )(M0)
+    np.testing.assert_allclose(np.asarray(dM), np.asarray(truth), atol=1e-6)
+
+
 def test_mesh_through_public_api(rng):
-    """map_cells_to_space(mesh=...) trains sharded and matches single-device."""
+    """map_cells_to_space(mesh=...) trains sharded and matches single-device,
+    for both the plain and the constrained mapper."""
     import pandas as pd
 
     import tangram_tpu as tg
@@ -92,10 +206,17 @@ def test_mesh_through_public_api(rng):
                                      verbose=False)
     np.testing.assert_allclose(m_mesh.X, m_single.X, atol=5e-4)
 
-    with pytest.raises(NotImplementedError, match="constrained"):
-        tg.map_cells_to_space(ad_sc, ad_sp, mode="constrained", target_count=30,
-                              mesh=mesh, num_epochs=5, verbose=False,
-                              density_prior="uniform")
+    # target_count above n_cells keeps the |Σσ(F) − target| kink out of the
+    # trajectory (see test_fused_sharded_constrained_matches_single_device)
+    kwargs = dict(mode="constrained", target_count=200, num_epochs=25,
+                  random_state=42, verbose=False, density_prior="uniform")
+    mc_mesh = tg.map_cells_to_space(ad_sc, ad_sp, mesh=mesh, **kwargs)
+    mc_single = tg.map_cells_to_space(ad_sc, ad_sp, **kwargs)
+    np.testing.assert_allclose(mc_mesh.X, mc_single.X, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(mc_mesh.obs["F_out"]), np.asarray(mc_single.obs["F_out"]),
+        atol=2e-3,
+    )
 
 
 def test_fused_sharded_rejects_l1(rng):
@@ -104,10 +225,3 @@ def test_fused_sharded_rejects_l1(rng):
         fit_mapping_fused_sharded(
             M0, data, LossWeights(lambda_g1=1.0, lambda_l1=0.1), 5, 0.1
         )
-
-
-def test_fused_sharded_rejects_indivisible(rng):
-    M0, data = make_problem(rng, c=30)
-    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(-1), axis_names=("cell",))
-    with pytest.raises(ValueError, match="divisible"):
-        fit_mapping_fused_sharded(M0, data, LossWeights(), 5, 0.1, mesh=mesh)

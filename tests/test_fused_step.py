@@ -54,6 +54,62 @@ def test_fused_matches_generic(rng, lw):
     )
 
 
+def test_fused_constrained_matches_generic(rng):
+    """The fused (M, F) step — Adam on M in-kernel, F's gradient recovered
+    from the rbar reduction — must track the generic optax path."""
+    import jax
+
+    M0, data = make_problem(rng)
+    data = data._replace(target_count=jnp.float32(25.0))
+    F0 = jnp.asarray(
+        np.random.default_rng(7).normal(size=M0.shape[0]), jnp.float32
+    )
+    lw = LossWeights(lambda_g1=1.0, lambda_d=1.0, lambda_r=0.01,
+                     lambda_count=1.0, lambda_f_reg=1.0)
+
+    p_xla, h_xla = fit_mapping((M0, F0), data, lw, 25, 0.1, constrained=True,
+                               impl="xla")
+    p_fused, h_fused = fit_mapping((M0, F0), data, lw, 25, 0.1,
+                                   constrained=True, impl="pallas", fused=True)
+
+    # The |sum(sigmoid F) - target| kink makes long constrained trajectories
+    # sensitive; the pre-kink prefix must match tightly, the full softmax
+    # output loosely.
+    np.testing.assert_allclose(
+        np.asarray(h_fused["total_loss"][:8]),
+        np.asarray(h_xla["total_loss"][:8]),
+        rtol=3e-4, atol=3e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.nn.softmax(p_fused[0], axis=1)),
+        np.asarray(jax.nn.softmax(p_xla[0], axis=1)),
+        atol=5e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.nn.sigmoid(p_fused[1])),
+        np.asarray(jax.nn.sigmoid(p_xla[1])),
+        atol=5e-3,
+    )
+
+
+def test_fused_constrained_resume_opt_state(rng):
+    M0, data = make_problem(rng)
+    data = data._replace(target_count=jnp.float32(25.0))
+    F0 = jnp.asarray(
+        np.random.default_rng(7).normal(size=M0.shape[0]), jnp.float32
+    )
+    lw = LossWeights(lambda_g1=1.0, lambda_d=1.0, lambda_count=1.0,
+                     lambda_f_reg=1.0)
+    p_full, _ = fit_mapping((M0, F0), data, lw, 20, 0.1, constrained=True,
+                            impl="pallas", fused=True)
+    p1, opt1, _ = fit_mapping((M0, F0), data, lw, 10, 0.1, constrained=True,
+                              impl="pallas", fused=True, return_opt_state=True)
+    p2, _ = fit_mapping(p1, data, lw, 10, 0.1, constrained=True,
+                        impl="pallas", fused=True, opt_state=opt1)
+    np.testing.assert_allclose(np.asarray(p2[0]), np.asarray(p_full[0]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p2[1]), np.asarray(p_full[1]), atol=1e-6)
+
+
 def test_bf16_moments_track_f32(rng):
     """bf16 Adam moments must track the f32 trajectory closely (values are
     computed in f32 in-kernel; only storage is bf16)."""
