@@ -1,12 +1,12 @@
 """Plotting suite: training diagnostics, spatial maps, and evaluation curves.
 
-Mirrors the 13 public plotting functions of the reference ``plot_utils.py``.
-The reference delegates spatial rendering to ``scanpy.pl.spatial``
-(``plot_utils.py:208-211, 404-428``); since the core framework carries no
-scanpy dependency, an internal matplotlib renderer (:func:`_spatial_scatter`)
-draws ``obsm['spatial']`` scatter maps with the same knobs (spot_size,
-scale_factor, optional background image from ``uns['spatial']``), and scanpy
-is used instead when it happens to be installed.
+Covers the 13 public plot functions of the reference (``plot_utils.py`` of
+broadinstitute/Tangram), rebuilt around a small set of shared primitives: a
+4-panel score dashboard (`_score_dashboard`), a horizontal unit colorbar
+(`_unit_colorbar`), an ordered value scatter (`_value_scatter`) and a spatial
+renderer (`_render_spatial`) that uses ``scanpy.pl.spatial`` when scanpy is
+installed and an internal matplotlib fallback (:func:`_spatial_scatter`)
+otherwise — the core framework carries no scanpy dependency.
 """
 
 from __future__ import annotations
@@ -37,6 +37,12 @@ __all__ = [
     "mapping_colors",
 ]
 
+_SPARSITY_PANELS = (
+    ("sparsity_sc", "score vs sparsity (single cells)"),
+    ("sparsity_sp", "score vs sparsity (spatial)"),
+    ("sparsity_diff", "score vs sparsity (sp - sc)"),
+)
+
 
 def _plt():
     import matplotlib.pyplot as plt
@@ -44,94 +50,143 @@ def _plt():
     return plt
 
 
+def _require_robust_perc(robust, perc):
+    """The reference's paired validation of (robust, perc)
+    (ref plot_utils.py:227-231 and equivalents)."""
+    if not robust and perc != 0:
+        raise ValueError("Arg perc is zero when robust is False.")
+    if robust and perc == 0:
+        raise ValueError("Arg perc cannot be zero when robust is True.")
+
+
+def _have_scanpy():
+    try:
+        import scanpy  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def q_value(data, perc):
-    """(vmin, vmax) colormap range from symmetric percentiles
-    (reference ``plot_utils.py:22-36``)."""
-    vmin = np.nanpercentile(data, perc)
-    vmax = np.nanpercentile(data, 100 - perc)
-    return vmin, vmax
-
-
-def plot_training_scores(adata_map, bins=10, alpha=0.7):
-    """4-panel training diagnosis: score histogram + score-vs-sparsity
-    scatters (reference ``plot_utils.py:39-94``)."""
-    import seaborn as sns
-
-    plt = _plt()
-    fig, axs = plt.subplots(1, 4, figsize=(12, 3), sharey=True)
-    df = adata_map.uns["train_genes_df"]
-    axs_f = axs.flatten()
-
-    axs_f[0].set_ylim([0.0, 1.0])
-    for i in range(1, len(axs_f)):
-        axs_f[i].set_xlim([0.0, 1.0])
-        axs_f[i].set_ylim([0.0, 1.0])
-
-    sns.histplot(data=df, y="train_score", bins=bins, ax=axs_f[0], color="coral")
-    for ax, col, title in [
-        (axs_f[1], "sparsity_sc", "score vs sparsity (single cells)"),
-        (axs_f[2], "sparsity_sp", "score vs sparsity (spatial)"),
-        (axs_f[3], "sparsity_diff", "score vs sparsity (sp - sc)"),
-    ]:
-        ax.set_title(title)
-        sns.scatterplot(
-            data=df, y="train_score", x=col, ax=ax, alpha=alpha, color="coral"
-        )
-    plt.tight_layout()
-    return fig
-
-
-def plot_gene_sparsity(adata_1, adata_2, xlabel="adata_1", ylabel="adata_2", genes=None, s=1):
-    """Scatter of per-gene sparsity between two AnnDatas
-    (reference ``plot_utils.py:97-129``)."""
-    from .mapping import pp_adatas
-
-    plt = _plt()
-    logging.info("Pre-processing AnnDatas...")
-    pp_adatas(adata_1, adata_2, genes=genes)
-    assert adata_1.uns["training_genes"] == adata_2.uns["training_genes"]
-    training_genes = adata_1.uns["training_genes"]
-
-    logging.info("Annotating sparsity...")
-    ut.annotate_gene_sparsity(adata_1)
-    ut.annotate_gene_sparsity(adata_2)
-    xs = adata_1[:, training_genes].var["sparsity"].values
-    ys = adata_2[:, training_genes].var["sparsity"].values
-    fig, ax = plt.subplots(1, 1)
-    ax.set_aspect(1)
-    ax.set_xlabel("sparsity (" + xlabel + ")")
-    ax.set_ylabel("sparsity (" + ylabel + ")")
-    ax.set_title(f"Gene sparsity ({len(xs)} genes)")
-    ax.scatter(xs, ys, s=s, marker="x")
-    return fig
+    """Symmetric percentile color range: (perc-th, (100−perc)-th)
+    (ref plot_utils.py:22-36)."""
+    return np.nanpercentile(data, perc), np.nanpercentile(data, 100 - perc)
 
 
 def ordered_predictions(xs, ys, preds, reverse=False):
-    """Sort (x, y, value) triples by value so strong signal plots on top
-    (reference ``plot_utils.py:132-155``)."""
+    """Sort (x, y, value) triples by value so strong signal draws on top
+    (ref plot_utils.py:132-155)."""
     assert len(xs) == len(ys) == len(preds)
     order = np.argsort(np.asarray(preds))
     if reverse:
         order = order[::-1]
-    xs = np.asarray(xs)[order]
-    ys = np.asarray(ys)[order]
-    preds = np.asarray(preds)[order]
-    return list(xs), list(ys), list(preds)
+    return (
+        list(np.asarray(xs)[order]),
+        list(np.asarray(ys)[order]),
+        list(np.asarray(preds)[order]),
+    )
 
 
 def convert_adata_array(adata):
+    """Densify ``adata.X`` in place (ref plot_utils.py:158-160)."""
     if sp.issparse(adata.X) or hasattr(adata.X, "toarray"):
         adata.X = adata.X.toarray()
 
 
 def construct_obs_plot(df_plot, adata, perc=0, suffix=None):
-    """Clip to percentiles, min-max normalize, and append to ``obs``
-    (reference ``plot_utils.py:163-172``)."""
-    df_plot = df_plot.clip(df_plot.quantile(perc), df_plot.quantile(1 - perc), axis=1)
-    df_plot = (df_plot - df_plot.min()) / (df_plot.max() - df_plot.min())
+    """Percentile-clip, min-max normalize and append plotting columns to
+    ``adata.obs`` (ref plot_utils.py:163-172)."""
+    clipped = df_plot.clip(
+        df_plot.quantile(perc), df_plot.quantile(1 - perc), axis=1
+    )
+    normalized = (clipped - clipped.min()) / (clipped.max() - clipped.min())
     if suffix:
-        df_plot = df_plot.add_suffix(" ({})".format(suffix))
-    adata.obs = pd.concat([adata.obs, df_plot], axis=1)
+        normalized = normalized.add_suffix(f" ({suffix})")
+    adata.obs = pd.concat([adata.obs, normalized], axis=1)
+
+
+def _gene_vector(adata, gene):
+    """Expression column of one gene, or zeros when absent."""
+    if gene not in adata.var.index:
+        return np.zeros(adata.n_obs)
+    return np.asarray(adata[:, gene].X).ravel()
+
+
+def _score_dashboard(df, value_col, bins, alpha, color=None):
+    """One histogram + three score-vs-sparsity scatter panels, all on the
+    unit square (layout shared by plot_training_scores / plot_test_scores,
+    ref plot_utils.py:39-94 and :609-659)."""
+    import seaborn as sns
+
+    plt = _plt()
+    fig, axs = plt.subplots(1, 4, figsize=(12, 3), sharey=True)
+    panels = axs.flatten()
+    panels[0].set_ylim([0.0, 1.0])
+
+    sns.histplot(data=df, y=value_col, bins=bins, ax=panels[0], color=color)
+    for ax, (col, title) in zip(panels[1:], _SPARSITY_PANELS):
+        ax.set_xlim([0.0, 1.0])
+        ax.set_ylim([0.0, 1.0])
+        ax.set_title(title)
+        sns.scatterplot(
+            data=df, y=value_col, x=col, ax=ax, alpha=alpha, color=color
+        )
+    plt.tight_layout()
+    return fig
+
+
+def plot_training_scores(adata_map, bins=10, alpha=0.7):
+    """Training diagnosis: per-gene score histogram + sparsity scatters
+    (ref plot_utils.py:39-94)."""
+    return _score_dashboard(
+        adata_map.uns["train_genes_df"], "train_score", bins, alpha, "coral"
+    )
+
+
+def plot_test_scores(df_gene_score, bins=10, alpha=0.7):
+    """Held-out score diagnosis on a compare_spatial_geneexp table
+    (ref plot_utils.py:609-659)."""
+    needed = {"score", "sparsity_sc", "sparsity_sp", "sparsity_diff"}
+    if not needed <= set(df_gene_score.columns):
+        raise ValueError(
+            "There are missing columns in df_gene_score. Run `compare_spatial_geneexp` "
+            "with `adata_ge`, `adata_sp`, and `adata_sc` to produce complete dataframe input."
+        )
+    df = df_gene_score
+    if "is_training" in df.keys():
+        df = df[df["is_training"] == False]
+    df = df.rename({"score": "test_score"}, axis="columns")
+    return _score_dashboard(df, "test_score", bins, alpha)
+
+
+def plot_gene_sparsity(adata_1, adata_2, xlabel="adata_1", ylabel="adata_2", genes=None, s=1):
+    """Per-gene sparsity of one AnnData against another
+    (ref plot_utils.py:97-129)."""
+    from .mapping import pp_adatas
+
+    plt = _plt()
+    pp_adatas(adata_1, adata_2, genes=genes)
+    assert adata_1.uns["training_genes"] == adata_2.uns["training_genes"]
+    shared = adata_1.uns["training_genes"]
+
+    for adata in (adata_1, adata_2):
+        ut.annotate_gene_sparsity(adata)
+    sparsity_1 = adata_1[:, shared].var["sparsity"].values
+    sparsity_2 = adata_2[:, shared].var["sparsity"].values
+
+    fig, ax = plt.subplots(1, 1)
+    ax.set_aspect(1)
+    ax.set_xlabel(f"sparsity ({xlabel})")
+    ax.set_ylabel(f"sparsity ({ylabel})")
+    ax.set_title(f"Gene sparsity ({len(shared)} genes)")
+    ax.scatter(sparsity_1, sparsity_2, s=s, marker="x")
+    return fig
+
+
+# ---------------------------------------------------------------------------
+# spatial rendering
+# ---------------------------------------------------------------------------
 
 
 def _spatial_scatter(
@@ -145,150 +200,181 @@ def _spatial_scatter(
         _, ax = plt.subplots()
 
     coords = np.asarray(adata.obsm["spatial"], dtype=float)
-    sf = 1.0
+    sf = scale_factor
     size = spot_size
 
-    spatial_uns = adata.uns.get("spatial")
-    if isinstance(spatial_uns, dict) and spatial_uns:
-        lib = next(iter(spatial_uns))
-        entry = spatial_uns[lib]
+    library = adata.uns.get("spatial")
+    if isinstance(library, dict) and library:
+        entry = library[next(iter(library))]
         scalefactors = entry.get("scalefactors", {}) if isinstance(entry, dict) else {}
-        sf = scale_factor or scalefactors.get("tissue_hires_scalef", 1.0)
+        sf = sf or scalefactors.get("tissue_hires_scalef", 1.0)
         if size is None:
             size = scalefactors.get("spot_diameter_fullres", 30.0)
         images = entry.get("images", {}) if isinstance(entry, dict) else {}
         if images:
-            img = images.get("hires", next(iter(images.values())))
-            img = np.asarray(img)
+            img = np.asarray(images.get("hires", next(iter(images.values()))))
             if bw:
                 img = img.mean(axis=-1)
             ax.imshow(img, alpha=alpha_img, cmap="gray" if bw else None)
     else:
-        sf = scale_factor or 1.0
+        sf = sf or 1.0
         if size is None:
             size = 30.0
 
-    values = adata.obs[color]
-    sc_plot = ax.scatter(
-        coords[:, 0] * sf, coords[:, 1] * sf, c=np.asarray(values, dtype=float),
-        s=size, cmap=cmap,
+    points = ax.scatter(
+        coords[:, 0] * sf, coords[:, 1] * sf,
+        c=np.asarray(adata.obs[color], dtype=float), s=size, cmap=cmap,
     )
     ax.set_title(title or color)
     ax.set_aspect("equal")
     ax.invert_yaxis()
     ax.axis("off")
-    plt.colorbar(sc_plot, ax=ax, shrink=0.7)
+    plt.colorbar(points, ax=ax, shrink=0.7)
     return ax
 
 
-def _have_scanpy():
-    try:
-        import scanpy  # noqa: F401
+def _render_spatial(adata, color, *, spot_size, scale_factor, cmap,
+                    alpha_img, bw, ax):
+    """Spatial panels: scanpy when available, internal fallback otherwise.
 
-        return True
-    except ImportError:
-        return False
+    ``color`` is a list of obs columns; ``ax`` is a matching list of axes
+    (or None to let scanpy lay the panels out itself)."""
+    if _have_scanpy():
+        import scanpy as scp
+
+        scp.pl.spatial(
+            adata, color=color, cmap=cmap, show=False, frameon=False,
+            spot_size=spot_size, scale_factor=scale_factor,
+            alpha_img=alpha_img, bw=bw,
+            ax=ax[0] if isinstance(ax, (list, np.ndarray)) and len(ax) == 1 else ax,
+        )
+    else:
+        axes = ax
+        if axes is None:
+            _, axes = _plt().subplots(1, len(color), figsize=(4 * len(color), 4))
+            axes = np.atleast_1d(axes)
+        for name, one_ax in zip(color, axes):
+            _spatial_scatter(
+                adata, name, spot_size=spot_size, scale_factor=scale_factor,
+                cmap=cmap, alpha_img=alpha_img, bw=bw, ax=one_ax,
+            )
+
+
+def _ensure_spatial_coords(adata, x, y):
+    if "spatial" not in adata.obsm.keys():
+        adata.obsm["spatial"] = np.column_stack(
+            [np.asarray(adata.obs[x].values), np.asarray(adata.obs[y].values)]
+        )
+
+
+def _check_spatial_args(adata, spot_size, scale_factor, strict_exclusive):
+    has_library = "spatial" in adata.uns.keys()
+    if not has_library and spot_size is None and scale_factor is None:
+        raise ValueError(
+            "Spot Size and Scale Factor cannot be None when ad_sp.uns['spatial'] does not exist"
+        )
+    if (
+        strict_exclusive
+        and has_library
+        and spot_size is not None
+        and scale_factor is not None
+    ):
+        raise ValueError(
+            "Spot Size and Scale Factor should be None when ad_sp.uns['spatial'] exists"
+        )
 
 
 def plot_cell_annotation_sc(
     adata_sp, annotation_list, x="x", y="y", spot_size=None, scale_factor=None,
     perc=0, alpha_img=1.0, bw=False, ax=None,
 ):
-    """Spatial probability maps for transferred annotations
-    (reference ``plot_utils.py:175-213``)."""
+    """Spatial probability maps of transferred annotations, one panel per
+    annotation (ref plot_utils.py:175-213). Consumes
+    ``obsm['tangram_ct_pred']`` (from project_cell_annotations) and leaves
+    ``obs`` unmodified on exit."""
+    adata_sp.obs.drop(annotation_list, inplace=True, errors="ignore", axis=1)
+    construct_obs_plot(
+        adata_sp.obsm["tangram_ct_pred"][annotation_list], adata_sp, perc=perc
+    )
+    _ensure_spatial_coords(adata_sp, x, y)
+    _check_spatial_args(adata_sp, spot_size, scale_factor, strict_exclusive=True)
+
+    _render_spatial(
+        adata_sp, annotation_list, spot_size=spot_size,
+        scale_factor=scale_factor, cmap="viridis", alpha_img=alpha_img,
+        bw=bw, ax=None if ax is None else [ax] * len(annotation_list),
+    )
+
+    adata_sp.obs.drop(annotation_list, inplace=True, errors="ignore", axis=1)
+
+
+def _unit_colorbar(cmap_name, label):
+    """Standalone horizontal [0, 1] colorbar strip (the reference draws one
+    above its scatter grids, ref plot_utils.py:256-263 and :500-507)."""
+    import matplotlib as mpl
+
     plt = _plt()
-    adata_sp.obs.drop(annotation_list, inplace=True, errors="ignore", axis=1)
+    fig, ax = plt.subplots(figsize=(4, 0.4))
+    fig.subplots_adjust(top=0.5)
+    cmap = plt.get_cmap(cmap_name) if isinstance(cmap_name, str) else cmap_name
+    mpl.colorbar.ColorbarBase(
+        ax, cmap=cmap, norm=mpl.colors.Normalize(vmin=0, vmax=1),
+        orientation="horizontal", label=label,
+    )
+    return cmap
 
-    df = adata_sp.obsm["tangram_ct_pred"][annotation_list]
-    construct_obs_plot(df, adata_sp, perc=perc)
 
-    if "spatial" not in adata_sp.obsm:
-        coords = [[xx, yy] for xx, yy in zip(adata_sp.obs[x].values, adata_sp.obs[y].values)]
-        adata_sp.obsm["spatial"] = np.array(coords)
-
-    if "spatial" not in adata_sp.uns.keys() and spot_size is None and scale_factor is None:
-        raise ValueError(
-            "Spot Size and Scale Factor cannot be None when ad_sp.uns['spatial'] does not exist"
-        )
-    if "spatial" in adata_sp.uns.keys() and spot_size is not None and scale_factor is not None:
-        raise ValueError(
-            "Spot Size and Scale Factor should be None when ad_sp.uns['spatial'] exists"
-        )
-
-    if _have_scanpy():
-        import scanpy as scp
-
-        scp.pl.spatial(
-            adata_sp, color=annotation_list, cmap="viridis", show=False,
-            frameon=False, spot_size=spot_size, scale_factor=scale_factor,
-            alpha_img=alpha_img, bw=bw, ax=ax,
-        )
-    else:
-        if ax is None:
-            _, axs = plt.subplots(1, len(annotation_list), figsize=(4 * len(annotation_list), 4))
-            axs = np.atleast_1d(axs)
-        else:
-            axs = [ax] * len(annotation_list)
-        for ann, a in zip(annotation_list, axs):
-            _spatial_scatter(
-                adata_sp, ann, spot_size=spot_size, scale_factor=scale_factor,
-                alpha_img=alpha_img, bw=bw, ax=a,
-            )
-
-    adata_sp.obs.drop(annotation_list, inplace=True, errors="ignore", axis=1)
+def _value_scatter(ax, xs, ys, values, *, s, cmap, robust, perc, log=False,
+                   title=None, invert_y=False):
+    """Ordered scatter of a value map with percentile color limits."""
+    xs, ys, values = ordered_predictions(xs, ys, values)
+    vmin, vmax = q_value(values, perc=perc if robust else 0)
+    if log:
+        values = np.log(1 + np.asarray(values))
+    ax.scatter(xs, ys, c=values, cmap=cmap, s=s, vmin=vmin, vmax=vmax)
+    if title:
+        ax.set_title(title)
+    ax.axis("off")
+    ax.set_aspect(1)
+    if invert_y:
+        ax.invert_yaxis()
 
 
 def plot_cell_annotation(
     adata_map, adata_sp, annotation="cell_type", x="x", y="y", nrows=1, ncols=1,
     s=5, cmap="viridis", subtitle_add=False, robust=False, perc=0, invert_y=True,
 ):
-    """Transfer an annotation and plot per-type probability maps
-    (reference ``plot_utils.py:216-313``)."""
-    import matplotlib as mpl
-
+    """Transfer an annotation and scatter its per-type probability maps
+    (ref plot_utils.py:216-313)."""
     plt = _plt()
-    if not robust and perc != 0:
-        raise ValueError("Arg perc is zero when robust is False.")
-    if robust and perc == 0:
-        raise ValueError("Arg perc cannot be zero when robust is True.")
+    _require_robust_perc(robust, perc)
 
     ut.project_cell_annotations(adata_map, adata_sp, annotation=annotation)
-    df_annotation = adata_sp.obsm["tangram_ct_pred"]
+    prob_maps = adata_sp.obsm["tangram_ct_pred"]
 
-    fig, ax = plt.subplots(figsize=(4, 0.4))
-    fig.subplots_adjust(top=0.5)
-    cmap = plt.get_cmap(cmap)
-    norm = mpl.colors.Normalize(vmin=0, vmax=1)
-    mpl.colorbar.ColorbarBase(
-        ax, cmap=cmap, norm=norm, orientation="horizontal", label="Probability"
-    )
+    cmap = _unit_colorbar(cmap, "Probability")
 
     if nrows is None or ncols is None:
-        ncols = 1
-        nrows = len(df_annotation.columns)
-
+        nrows, ncols = len(prob_maps.columns), 1
     fig, axs = plt.subplots(
         nrows, ncols, figsize=(ncols * 3, nrows * 3), sharex=True, sharey=True
     )
-    axs_f = np.atleast_1d(axs).flatten()
+    panels = np.atleast_1d(axs).flatten()
     if invert_y:
-        axs_f[0].invert_yaxis()
-    for a in axs_f:
-        a.axis("off")
+        panels[0].invert_yaxis()
+    for ax in panels:
+        ax.axis("off")
 
-    if len(df_annotation.columns) > nrows * ncols:
+    if len(prob_maps.columns) > len(panels):
         logging.warning(
             "Number of panels smaller than annotations. Increase `nrows`/`ncols`."
         )
 
-    for ann, index in zip(df_annotation.columns, range(nrows * ncols)):
-        xs, ys, preds = ordered_predictions(
-            adata_map.var[x], adata_map.var[y], df_annotation[ann]
+    for ax, name in zip(panels, prob_maps.columns):
+        _value_scatter(
+            ax, adata_map.var[x], adata_map.var[y], prob_maps[name],
+            s=s, cmap=cmap, robust=robust, perc=perc, title=name,
         )
-        vmin, vmax = q_value(preds, perc=perc if robust else 0)
-        axs_f[index].scatter(x=xs, y=ys, c=preds, s=s, cmap=cmap, vmin=vmin, vmax=vmax)
-        axs_f[index].set_title(ann)
-        axs_f[index].set_aspect(1)
 
     if subtitle_add:
         fig.suptitle(annotation)
@@ -300,84 +386,55 @@ def plot_genes_sc(
     scale_factor=None, cmap="inferno", perc=0, alpha_img=1.0, bw=False,
     return_figure=False,
 ):
-    """Side-by-side measured vs predicted spatial gene maps
-    (reference ``plot_utils.py:316-447``)."""
+    """Measured-vs-predicted spatial maps per gene, rendered through the
+    spatial backend (ref plot_utils.py:316-447)."""
     from matplotlib.gridspec import GridSpec
 
     plt = _plt()
-
-    measured_cols = ["{} (measured)".format(g) for g in genes]
-    predicted_cols = ["{} (predicted)".format(g) for g in genes]
-    adata_measured.obs.drop(measured_cols, inplace=True, errors="ignore", axis=1)
-    adata_predicted.obs.drop(predicted_cols, inplace=True, errors="ignore", axis=1)
+    labeled = {
+        "measured": [f"{g} (measured)" for g in genes],
+        "predicted": [f"{g} (predicted)" for g in genes],
+    }
+    adata_measured.obs.drop(labeled["measured"], inplace=True, errors="ignore", axis=1)
+    adata_predicted.obs.drop(labeled["predicted"], inplace=True, errors="ignore", axis=1)
 
     convert_adata_array(adata_measured)
-    adata_measured.var.index = [g.lower() for g in adata_measured.var.index]
-    adata_predicted.var.index = [g.lower() for g in adata_predicted.var.index]
+    for adata in (adata_measured, adata_predicted):
+        adata.var.index = [g.lower() for g in adata.var.index]
     adata_predicted.obsm = adata_measured.obsm
     adata_predicted.uns = adata_measured.uns
 
-    data = []
-    for gene in genes:
-        if gene not in adata_measured.var.index:
-            data.append(np.zeros_like(np.array(adata_measured[:, 0].X).flatten()))
-        else:
-            data.append(np.array(adata_measured[:, gene].X).flatten())
-    df = pd.DataFrame(
-        data=np.array(data).T, columns=genes, index=adata_measured.obs.index
+    measured_df = pd.DataFrame(
+        {g: _gene_vector(adata_measured, g) for g in genes},
+        index=adata_measured.obs.index,
     )
-    construct_obs_plot(df, adata_measured, suffix="measured")
+    construct_obs_plot(measured_df, adata_measured, suffix="measured")
 
-    df = pd.DataFrame(
-        data=np.array(adata_predicted[:, genes].X),
-        columns=genes,
-        index=adata_predicted.obs.index,
+    predicted_df = pd.DataFrame(
+        np.asarray(adata_predicted[:, genes].X),
+        columns=genes, index=adata_predicted.obs.index,
     )
-    construct_obs_plot(df, adata_predicted, perc=perc, suffix="predicted")
+    construct_obs_plot(predicted_df, adata_predicted, perc=perc, suffix="predicted")
+
+    for adata in (adata_measured, adata_predicted):
+        _ensure_spatial_coords(adata, x, y)
+    _check_spatial_args(adata_measured, spot_size, scale_factor, strict_exclusive=False)
 
     fig = plt.figure(figsize=(7, len(genes) * 3.5))
-    gs = GridSpec(len(genes), 2, figure=fig)
-
-    if "spatial" not in adata_measured.obsm.keys():
-        for ad in (adata_measured, adata_predicted):
-            coords = [[xx, yy] for xx, yy in zip(ad.obs[x].values, ad.obs[y].values)]
-            ad.obsm["spatial"] = np.array(coords)
-
-    if ("spatial" not in adata_measured.uns.keys()) and (
-        spot_size is None and scale_factor is None
-    ):
-        raise ValueError(
-            "Spot Size and Scale Factor cannot be None when ad_sp.uns['spatial'] does not exist"
-        )
-
-    for ix, gene in enumerate(genes):
-        ax_m = fig.add_subplot(gs[ix, 0])
-        ax_p = fig.add_subplot(gs[ix, 1])
-        if _have_scanpy():
-            import scanpy as scp
-
-            scp.pl.spatial(
-                adata_measured, spot_size=spot_size, scale_factor=scale_factor,
-                color=["{} (measured)".format(gene)], frameon=False, ax=ax_m,
-                show=False, cmap=cmap, alpha_img=alpha_img, bw=bw,
-            )
-            scp.pl.spatial(
-                adata_predicted, spot_size=spot_size, scale_factor=scale_factor,
-                color=["{} (predicted)".format(gene)], frameon=False, ax=ax_p,
-                show=False, cmap=cmap, alpha_img=alpha_img, bw=bw,
-            )
-        else:
-            _spatial_scatter(
-                adata_measured, "{} (measured)".format(gene), spot_size=spot_size,
-                scale_factor=scale_factor, cmap=cmap, alpha_img=alpha_img, bw=bw, ax=ax_m,
-            )
-            _spatial_scatter(
-                adata_predicted, "{} (predicted)".format(gene), spot_size=spot_size,
-                scale_factor=scale_factor, cmap=cmap, alpha_img=alpha_img, bw=bw, ax=ax_p,
+    grid = GridSpec(len(genes), 2, figure=fig)
+    for row, gene in enumerate(genes):
+        for col, (adata, kind) in enumerate(
+            [(adata_measured, "measured"), (adata_predicted, "predicted")]
+        ):
+            panel = fig.add_subplot(grid[row, col])
+            _render_spatial(
+                adata, [f"{gene} ({kind})"], spot_size=spot_size,
+                scale_factor=scale_factor, cmap=cmap, alpha_img=alpha_img,
+                bw=bw, ax=[panel],
             )
 
-    adata_measured.obs.drop(measured_cols, inplace=True, errors="ignore", axis=1)
-    adata_predicted.obs.drop(predicted_cols, inplace=True, errors="ignore", axis=1)
+    adata_measured.obs.drop(labeled["measured"], inplace=True, errors="ignore", axis=1)
+    adata_predicted.obs.drop(labeled["predicted"], inplace=True, errors="ignore", axis=1)
     if return_figure:
         return fig
 
@@ -386,77 +443,46 @@ def plot_genes(
     genes, adata_measured, adata_predicted, x="x", y="y", s=5, log=False,
     cmap="inferno", robust=False, perc=0, invert_y=True,
 ):
-    """Measured-vs-predicted spatial patterns as raw scatters
-    (reference ``plot_utils.py:450-549``)."""
-    import matplotlib as mpl
-
+    """Measured-vs-predicted spatial patterns as raw coordinate scatters
+    (ref plot_utils.py:450-549)."""
     plt = _plt()
-    if not robust and perc != 0:
-        raise ValueError("Arg perc is zero when robust is False.")
-    if robust and perc == 0:
-        raise ValueError("Arg perc cannot be zero when robust is True.")
+    _require_robust_perc(robust, perc)
 
     convert_adata_array(adata_measured)
-    adata_measured.var.index = [g.lower() for g in adata_measured.var.index]
-    adata_predicted.var.index = [g.lower() for g in adata_predicted.var.index]
+    for adata in (adata_measured, adata_predicted):
+        adata.var.index = [g.lower() for g in adata.var.index]
 
-    fig, ax = plt.subplots(figsize=(4, 0.4))
-    fig.subplots_adjust(top=0.5)
-    cmap = plt.get_cmap(cmap)
-    norm = mpl.colors.Normalize(vmin=0, vmax=1)
-    mpl.colorbar.ColorbarBase(
-        ax, cmap=cmap, norm=norm, orientation="horizontal", label="Expression Level"
-    )
+    cmap = _unit_colorbar(cmap, "Expression Level")
 
     fig, axs = plt.subplots(nrows=len(genes), ncols=2, figsize=(6, len(genes) * 3))
     axs = np.atleast_2d(axs)
-
-    for ix, gene in enumerate(genes):
-        if gene not in adata_measured.var.index:
-            vs = np.zeros_like(np.array(adata_measured[:, 0].X).flatten())
-        else:
-            vs = np.array(adata_measured[:, gene].X).flatten()
-        xs, ys, vs = ordered_predictions(
-            adata_measured.obs[x], adata_measured.obs[y], vs
+    for row, gene in enumerate(genes):
+        _value_scatter(
+            axs[row, 0],
+            adata_measured.obs[x], adata_measured.obs[y],
+            _gene_vector(adata_measured, gene),
+            s=s, cmap=cmap, robust=False, perc=0, log=log,
+            title=f"{gene} (measured)", invert_y=invert_y,
         )
-        if log:
-            vs = np.log(1 + np.asarray(vs))
-        axs[ix, 0].scatter(xs, ys, c=vs, cmap=cmap, s=s)
-        axs[ix, 0].set_title(gene + " (measured)")
-        axs[ix, 0].axis("off")
-        axs[ix, 0].set_aspect(1)
-
-        xs, ys, vs = ordered_predictions(
-            adata_predicted.obs[x],
-            adata_predicted.obs[y],
-            np.array(adata_predicted[:, gene].X).flatten(),
+        _value_scatter(
+            axs[row, 1],
+            adata_predicted.obs[x], adata_predicted.obs[y],
+            np.asarray(adata_predicted[:, gene].X).ravel(),
+            s=s, cmap=cmap, robust=robust, perc=perc, log=log,
+            title=f"{gene} (predicted)", invert_y=invert_y,
         )
-        vmin, vmax = q_value(vs, perc=perc if robust else 0)
-        if log:
-            vs = np.log(1 + np.asarray(vs))
-        axs[ix, 1].scatter(xs, ys, c=vs, cmap=cmap, s=s, vmin=vmin, vmax=vmax)
-        axs[ix, 1].set_title(gene + " (predicted)")
-        axs[ix, 1].axis("off")
-        axs[ix, 1].set_aspect(1)
-
-        if invert_y:
-            axs[ix, 0].invert_yaxis()
-            axs[ix, 1].invert_yaxis()
     return fig
 
 
 def quick_plot_gene(
     gene, adata, x="x", y="y", s=50, log=False, cmap="viridis", robust=False, perc=0
 ):
-    """Single-gene spatial scatter (reference ``plot_utils.py:552-587``)."""
+    """One-gene spatial scatter on the current axes
+    (ref plot_utils.py:552-587)."""
     plt = _plt()
-    if not robust and perc != 0:
-        raise ValueError("Arg perc is zero when robust is False.")
-    if robust and perc == 0:
-        raise ValueError("Arg perc cannot be zero when robust is True.")
-
+    _require_robust_perc(robust, perc)
     xs, ys, vs = ordered_predictions(
-        adata.obs[x], adata.obs[y], np.array(adata[:, gene].X).flatten()
+        adata.obs[x], adata.obs[y], np.asarray(adata[:, gene].X).ravel()
     )
     vmin, vmax = q_value(vs, perc=perc if robust else 0)
     if log:
@@ -465,8 +491,8 @@ def quick_plot_gene(
 
 
 def plot_annotation_entropy(adata_map, annotation="cell_type"):
-    """Per-annotation boxplot of mapping-row entropy
-    (reference ``plot_utils.py:590-606``)."""
+    """Boxen plot of per-cell mapping entropy grouped by annotation
+    (ref plot_utils.py:590-606)."""
     import seaborn as sns
     from scipy.stats import entropy
 
@@ -481,54 +507,16 @@ def plot_annotation_entropy(adata_map, annotation="cell_type"):
     return fig
 
 
-def plot_test_scores(df_gene_score, bins=10, alpha=0.7):
-    """4-panel test-score diagnosis (reference ``plot_utils.py:609-659``)."""
-    import seaborn as sns
-
-    plt = _plt()
-    if not set(["score", "sparsity_sc", "sparsity_sp", "sparsity_diff"]).issubset(
-        set(df_gene_score.columns)
-    ):
-        raise ValueError(
-            "There are missing columns in df_gene_score. Run `compare_spatial_geneexp` "
-            "with `adata_ge`, `adata_sp`, and `adata_sc` to produce complete dataframe input."
-        )
-
-    if "is_training" in df_gene_score.keys():
-        df = df_gene_score[df_gene_score["is_training"] == False].copy()
-    else:
-        df = df_gene_score.copy()
-    df.rename({"score": "test_score"}, axis="columns", inplace=True)
-
-    fig, axs = plt.subplots(1, 4, figsize=(12, 3), sharey=True)
-    axs_f = axs.flatten()
-    axs_f[0].set_ylim([0.0, 1.0])
-    for i in range(1, len(axs_f)):
-        axs_f[i].set_xlim([0.0, 1.0])
-        axs_f[i].set_ylim([0.0, 1.0])
-
-    sns.histplot(data=df, y="test_score", bins=bins, ax=axs_f[0])
-    for ax, col, title in [
-        (axs_f[1], "sparsity_sc", "score vs sparsity (single cells)"),
-        (axs_f[2], "sparsity_sp", "score vs sparsity (spatial)"),
-        (axs_f[3], "sparsity_diff", "score vs sparsity (sp - sc)"),
-    ]:
-        ax.set_title(title)
-        sns.scatterplot(data=df, y="test_score", x=col, ax=ax, alpha=alpha)
-    plt.tight_layout()
-    return fig
-
-
 def plot_auc(df_all_genes, test_genes=None):
-    """AUC curve of test score vs spatial sparsity
-    (reference ``plot_utils.py:662-692``)."""
+    """Score-vs-sparsity cloud with the fitted AUC curve
+    (ref plot_utils.py:662-692)."""
     import seaborn as sns
 
     plt = _plt()
-    metric_dict, ((pol_xs, pol_ys), (xs, ys)) = ut.eval_metric(df_all_genes, test_genes)
+    metrics, ((curve_x, curve_y), (xs, ys)) = ut.eval_metric(df_all_genes, test_genes)
 
     fig = plt.figure(figsize=(6, 5))
-    plt.plot(pol_xs, pol_ys, c="r")
+    plt.plot(curve_x, curve_y, c="r")
     sns.scatterplot(x=xs, y=ys, alpha=0.5, edgecolors="face")
 
     plt.xlim([0.0, 1.0])
@@ -538,10 +526,12 @@ def plot_auc(df_all_genes, test_genes=None):
     plt.ylabel("spatial sparsity")
     plt.tick_params(axis="both", labelsize=8)
     plt.title("Prediction on test transcriptome")
-
-    textstr = "auc_score={}".format(np.round(metric_dict["auc_score"], 3))
-    props = dict(boxstyle="round", facecolor="wheat", alpha=0.3)
-    plt.text(0.03, 0.1, textstr, fontsize=11, verticalalignment="top", bbox=props)
+    plt.text(
+        0.03, 0.1,
+        "auc_score={}".format(np.round(metrics["auc_score"], 3)),
+        fontsize=11, verticalalignment="top",
+        bbox=dict(boxstyle="round", facecolor="wheat", alpha=0.3),
+    )
     return fig
 
 

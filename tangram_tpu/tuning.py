@@ -122,33 +122,40 @@ def _coerce_domain(value):
 # ---------------------------------------------------------------------------
 
 
+def _normalized_entropy(probs):
+    """Row entropy of a (cells, spots) stochastic matrix, normalized to
+    [0, 1] by log(n_spots). Rows are renormalized first (scipy.stats.entropy
+    semantics) and 0·log0 := 0."""
+    row_sums = probs.sum(axis=-1, keepdims=True)
+    p = np.divide(probs, row_sums, out=np.zeros_like(probs), where=row_sums > 0)
+    plogp = np.where(p > 0, p * np.log(np.where(p > 0, p, 1.0)), 0.0)
+    return -plogp.sum(axis=-1) / np.log(probs.shape[-1])
+
+
 def pearson_corr(cube):
-    """All pairwise Pearson correlations across the first (run) axis."""
-    idx = np.tril_indices(cube.shape[0], -1)
-    return np.corrcoef(np.reshape(cube, (cube.shape[0], -1)))[idx]
+    """Pairwise Pearson correlation of the flattened mapping matrices across
+    the run axis (reference ``mapping_parameter_tuning.py:42-53`` reports the
+    strict lower triangle of the run×run correlation matrix)."""
+    n_runs = cube.shape[0]
+    corr = np.corrcoef(cube.reshape(n_runs, -1))
+    return corr[np.tril_indices(n_runs, -1)]
 
 
 def vote_entropy(pred_probs_cube):
-    """Normalized entropy of the argmax votes across runs → (runs, items)."""
-    import scipy.stats
-
-    votes_encoded = np.zeros(pred_probs_cube.shape)
-    votes = pred_probs_cube.argmax(axis=2)
-    for run in range(pred_probs_cube.shape[0]):
-        votes_encoded[run, np.arange(pred_probs_cube.shape[1]), votes[run]] = 1
-    return scipy.stats.entropy(votes_encoded.mean(axis=0), axis=1) / np.log(
-        pred_probs_cube.shape[2]
-    )
+    """Disagreement of the runs' hard assignments (reference ``:55-69``):
+    each run votes its argmax spot per cell; the entropy of the vote
+    distribution, normalized by log(n_spots), is returned per cell."""
+    n_runs, n_cells, n_spots = pred_probs_cube.shape
+    votes = pred_probs_cube.argmax(axis=2)  # (runs, cells)
+    vote_share = np.zeros((n_cells, n_spots))
+    np.add.at(vote_share, (np.arange(n_cells)[None, :], votes), 1.0 / n_runs)
+    return _normalized_entropy(vote_share)
 
 
 def consensus_entropy(pred_probs_cube):
-    """Normalized entropy of the mean (consensus) mapping → (runs, items)."""
-    import scipy.stats
-
-    consensus_mapping = pred_probs_cube.mean(axis=0)
-    return scipy.stats.entropy(consensus_mapping, axis=1) / np.log(
-        pred_probs_cube.shape[2]
-    )
+    """Peakedness of the run-averaged (consensus) mapping per cell,
+    normalized by log(n_spots) (reference ``:71-82``)."""
+    return _normalized_entropy(pred_probs_cube.mean(axis=0))
 
 
 # ---------------------------------------------------------------------------
