@@ -292,6 +292,11 @@ def filter_genes(adata: AnnData, min_cells: int = 1) -> None:
     adata.var["n_cells"] = n_cells
     if not keep.all():
         kept = np.where(keep)[0]
+        if type(adata).__module__.split(".")[0] == "anndata":
+            # Real anndata.AnnData rejects shape-changing X/var assignment;
+            # its own in-place subsetting keeps every aligned field coherent.
+            adata._inplace_subset_var(keep)
+            return
         adata.X = X[:, kept] if sp.issparse(X) else np.asarray(X)[:, kept]
         adata.var = adata.var.iloc[kept]
         for k in list(adata.varm):

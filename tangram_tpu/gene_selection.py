@@ -109,13 +109,16 @@ def svg(adata_st, alpha: float = 0.05, method: str = "moran", n_neighs: int = 6)
         svg_full, _ = SpatialDE.test(adata_st, omnibus=True)
         return svg_full[svg_full.padj < alpha].gene
 
-    from .spatial import spatial_neighbors, spatial_weights
+    from .spatial import sparse_weights, spatial_neighbors
 
     if not {"spatial_connectivities", "spatial_distances"}.issubset(
         set(adata_st.obsp.keys())
     ):
         spatial_neighbors(adata_st, n_neighs=n_neighs)
-    W = spatial_weights(adata_st, standardized=True, self_inclusion=False)
+    # Everything below is O(nnz) in the spot graph: the Moran numerator is
+    # Σ_g z ⊙ (W z) and the variance moments are sparse sums — no dense s×s
+    # matrix, no O(s²·g) einsum, so 50k+ spots stay cheap on the host.
+    W = sparse_weights(adata_st, standardized=True)
 
     X = _dense(adata_st.X)
     n = X.shape[0]
@@ -123,12 +126,14 @@ def svg(adata_st, alpha: float = 0.05, method: str = "moran", n_neighs: int = 6)
     denom = (z * z).sum(axis=0)
     denom[denom == 0] = np.inf
     S0 = W.sum()
-    moran = (n / S0) * np.einsum("ij,ig,jg->g", W, z, z, optimize=True) / denom
+    moran = (n / S0) * np.einsum("ig,ig->g", z, W @ z) / denom
 
     # analytic moments under the normality assumption
     EI = -1.0 / (n - 1)
-    S1 = 0.5 * ((W + W.T) ** 2).sum()
-    S2 = ((W.sum(axis=1) + W.sum(axis=0)) ** 2).sum()
+    S1 = 0.5 * (W + W.T).power(2).sum()
+    row_sums = np.asarray(W.sum(axis=1)).ravel()
+    col_sums = np.asarray(W.sum(axis=0)).ravel()
+    S2 = ((row_sums + col_sums) ** 2).sum()
     var_I = (
         (n * n * S1 - n * S2 + 3 * S0 * S0) / ((n * n - 1) * S0 * S0)
         - EI * EI

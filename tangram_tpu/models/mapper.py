@@ -132,22 +132,28 @@ def _fit_mapping_impl(
     fused: bool = True,
     moment_dtype: str = "float32",
     compute_dtype: str = "float32",
+    val_each=1,
+    step_offset=0,
 ):
     """Run ``num_epochs`` Adam steps; return (params, history-pytree).
 
     ``params`` is ``M`` (unconstrained) or ``(M, F)`` (constrained). History
     entries are recorded *before* each step, exactly like the reference loop
     (``mapping_optimizer.py:382-396``). When ``with_val``, validation metrics
-    are evaluated every epoch on ``val_data`` (callers subsample to their
-    ``val_each`` cadence host-side).
+    are evaluated on the *post-step* parameters (reference order,
+    ``mapping_optimizer.py:394-403``) — and only on epochs where
+    ``(step_offset + t) % val_each == 0``, via ``lax.cond`` inside the scan
+    (NaN placeholders elsewhere), so a sparse validation cadence costs
+    ~nothing instead of a full extra mapper_core pass per epoch.
 
     Pass ``opt_state`` (and set ``return_opt_state``) to resume training
-    mid-run with intact Adam moments — the checkpoint/restore path.
+    mid-run with intact Adam moments — the checkpoint/restore path;
+    ``step_offset`` keeps the validation cadence aligned across resumed
+    chunks.
 
-    When the Pallas implementation is selected and the mode is
-    unconstrained, the step runs through the fully-fused backward+Adam
-    kernel (see ``ops/fused_step.py``) — numerically identical, ~25% less
-    HBM traffic per step.
+    When the Pallas implementation is selected, the step runs through the
+    fully-fused backward+Adam kernel (see ``ops/fused_step.py``) —
+    numerically identical, ~25% less HBM traffic per step.
     """
     from ..ops.core import resolve_impl
 
@@ -155,13 +161,22 @@ def _fit_mapping_impl(
     use_fused = fused and resolved == "pallas"
 
     optimizer = make_adam(learning_rate)
+    epoch_ids = jnp.asarray(step_offset) + jnp.arange(num_epochs)
 
-    def maybe_val(M, out):
-        if with_val:
-            vdata = val_data if val_data is not None else data
-            out.update(
-                val_metrics(M, vdata.S, vdata.G, vdata.gene_mask, impl=resolved)
-            )
+    def maybe_val(M, out, t):
+        if not with_val:
+            return out
+        vdata = val_data if val_data is not None else data
+
+        def compute(_):
+            return val_metrics(M, vdata.S, vdata.G, vdata.gene_mask, impl=resolved)
+
+        def skip(_):
+            return {k: jnp.float32(jnp.nan) for k in VAL_KEYS}
+
+        out.update(
+            jax.lax.cond((t % jnp.asarray(val_each)) == 0, compute, skip, None)
+        )
         return out
 
     if use_fused and constrained:
@@ -182,7 +197,7 @@ def _fit_mapping_impl(
             nu, nuF = adam_state.nu
         stats = tuple(_rowstats(M0))
 
-        def step(carry, _):
+        def step(carry, t):
             (M, F), count, (mu, muF), (nu, nuF), stats = carry
             new_params, count_new, mus, nus, stats_new, terms = (
                 fused_constrained_step(
@@ -190,14 +205,13 @@ def _fit_mapping_impl(
                     learning_rate, compute_dtype=jnp.dtype(compute_dtype),
                 )
             )
-            out = maybe_val(M, dict(terms))
+            out = maybe_val(new_params[0], dict(terms), t)
             return (new_params, count_new, mus, nus, stats_new), out
 
         (params, count, (mu, muF), (nu, nuF), _), history = jax.lax.scan(
             step,
             ((M0, F0), count, (mu, muF), (nu, nuF), stats),
-            None,
-            length=num_epochs,
+            epoch_ids,
         )
         if return_opt_state:
             template = optimizer.init(params)
@@ -223,7 +237,7 @@ def _fit_mapping_impl(
             count, mu, nu = adam_state.count, adam_state.mu, adam_state.nu
         stats = initial_stats(params, lw)
 
-        def step(carry, _):
+        def step(carry, t):
             M, count, mu, nu, stats = carry
             M_new, count_new, mu_new, nu_new, stats_new, terms = (
                 fused_unconstrained_step(
@@ -231,11 +245,11 @@ def _fit_mapping_impl(
                     compute_dtype=jnp.dtype(compute_dtype),
                 )
             )
-            out = maybe_val(M, dict(terms))
+            out = maybe_val(M_new, dict(terms), t)
             return (M_new, count_new, mu_new, nu_new, stats_new), out
 
         (params, count, mu, nu, _), history = jax.lax.scan(
-            step, (params, count, mu, nu, stats), None, length=num_epochs
+            step, (params, count, mu, nu, stats), epoch_ids
         )
         if return_opt_state:
             template = optimizer.init(params)
@@ -249,18 +263,18 @@ def _fit_mapping_impl(
     if opt_state is None:
         opt_state = optimizer.init(params)
 
-    def step(carry, _):
+    def step(carry, t):
         params, opt_state = carry
         (_, terms), grads = jax.value_and_grad(
             lambda p: loss_fn(p, data, lw, impl=resolved), has_aux=True
         )(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
-        out = maybe_val(params[0] if constrained else params, dict(terms))
+        out = maybe_val(new_params[0] if constrained else new_params, dict(terms), t)
         return (new_params, opt_state), out
 
     (params, opt_state), history = jax.lax.scan(
-        step, (params, opt_state), None, length=num_epochs
+        step, (params, opt_state), epoch_ids
     )
     if return_opt_state:
         return params, opt_state, history
@@ -473,7 +487,12 @@ class Mapper:
         chunks (Adam state carried across — bit-exact with one scan) so the
         per-epoch score lines stream live, as in the reference loop.
         """
-        if print_each:
+        # Falsy print_each means "no printing" (the `if print_each:` guards
+        # below already treat 0 that way; normalizing avoids a zero chunk
+        # size in the streamed-print loop).
+        if not print_each:
+            print_each = None
+        else:
             logging.info(f"Printing scores every {print_each} epochs.")
 
         with_val = val_each is not None
@@ -513,6 +532,7 @@ class Mapper:
                     float(learning_rate), mesh=self.mesh,
                     with_val=with_val,
                     val_data=val_data if with_val else None,
+                    val_each=int(val_each) if with_val else 1,
                 )
             self.M = params
             history = jax.device_get(history)
@@ -535,10 +555,11 @@ class Mapper:
             learning_rate=float(learning_rate),
             with_val=with_val,
             val_data=val_data if with_val else None,
+            val_each=int(val_each) if with_val else 1,
             impl=self.impl,
         )
 
-        if print_each is None:
+        if print_each is None or num_epochs == 0:
             params, history = fit_mapping(
                 self.M, self.data, self.lw, num_epochs=num_epochs, **common
             )
@@ -550,7 +571,8 @@ class Mapper:
                 chunk = min(int(print_each), num_epochs - epoch)
                 params, opt_state, h = fit_mapping(
                     params, self.data, self.lw, num_epochs=chunk,
-                    opt_state=opt_state, return_opt_state=True, **common,
+                    opt_state=opt_state, return_opt_state=True,
+                    step_offset=epoch, **common,
                 )
                 h = jax.device_get(h)
                 _print_epoch({k: v[0] for k, v in h.items()}, PRINT_NAMES)
@@ -678,6 +700,8 @@ class MapperConstrained:
     def train(self, num_epochs, learning_rate=0.1, print_each=100):
         """Returns ``(M_probs, F_probs, training_history)``."""
         num_epochs = int(num_epochs)
+        if not print_each:
+            print_each = None
         if self.mesh is not None:
             from ..parallel import fit_mapping_fused_sharded, fit_mapping_sharded
 

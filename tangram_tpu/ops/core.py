@@ -127,18 +127,21 @@ def graph_matmul(W, X):
 
 
 def neighbor_graph_from_dense(W, k: Optional[int] = None) -> NeighborGraph:
-    """Convert a dense (s, s) weight matrix into a NeighborGraph (host-side)."""
+    """Convert a dense (s, s) weight matrix into a NeighborGraph (host-side,
+    one vectorized scatter — no per-row Python loop)."""
     import numpy as np
 
     W = np.asarray(W)
     s = W.shape[0]
-    nnz_per_row = (W != 0).sum(axis=1)
+    rows, cols = np.nonzero(W)
+    nnz_per_row = np.bincount(rows, minlength=s)
     if k is None:
-        k = int(nnz_per_row.max()) if s else 0
+        k = int(nnz_per_row.max()) if s and len(rows) else 0
+    row_starts = np.concatenate([[0], np.cumsum(nnz_per_row)[:-1]])
+    slots = np.arange(len(rows)) - row_starts[rows]
+    keep = slots < k
     indices = np.zeros((s, k), dtype=np.int32)
     weights = np.zeros((s, k), dtype=np.float32)
-    for i in range(s):
-        cols = np.nonzero(W[i])[0][:k]
-        indices[i, : len(cols)] = cols
-        weights[i, : len(cols)] = W[i, cols]
+    indices[rows[keep], slots[keep]] = cols[keep]
+    weights[rows[keep], slots[keep]] = W[rows[keep], cols[keep]]
     return NeighborGraph(jnp.asarray(indices), jnp.asarray(weights))

@@ -1,4 +1,5 @@
 from .mesh import (
+    init_distributed,
     make_mesh,
     mapping_shardings,
     shard_mapping,
@@ -7,6 +8,7 @@ from .mesh import (
 )
 
 __all__ = [
+    "init_distributed",
     "make_mesh",
     "mapping_shardings",
     "shard_mapping",

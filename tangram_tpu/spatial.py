@@ -61,9 +61,17 @@ def spatial_neighbors(
         k = min(n_neighs + 1, n)
         nn = NearestNeighbors(n_neighbors=k).fit(coords)
         dist, idx = nn.kneighbors(coords)
-        # drop self (first column when the point is its own nearest neighbor)
+        # Drop each point's self-edge by identity, not position: with
+        # duplicated coordinates sklearn may order a tied zero-distance
+        # neighbor before the point itself, and dropping column 0 would then
+        # keep a self-loop while losing a real neighbor.
+        is_self = idx == np.arange(n)[:, None]
+        missing_self = ~is_self.any(axis=1)
+        # rows whose self entry got crowded out by >k zero-distance
+        # duplicates: drop one tied zero-distance column instead
+        is_self[missing_self, 0] = True
         rows = np.repeat(np.arange(n), k - 1)
-        cols = idx[:, 1:].reshape(-1)
+        cols = idx[~is_self]
 
     d = np.linalg.norm(coords[rows] - coords[cols], axis=1)
     conn = sp.csr_matrix((np.ones_like(d, dtype=np.float64), (rows, cols)), shape=(n, n))
@@ -103,19 +111,7 @@ def spatial_weights(adata_sp, standardized: bool, self_inclusion: bool) -> np.nd
     (True, True) neighborhood-g1 · (False, False) ct-islands ·
     (True, False) Moran/Geary · (False, True) Getis-Ord.
     """
-    _require_graph(adata_sp)
-    conn = sp.csr_matrix(adata_sp.obsp["spatial_connectivities"], dtype=np.float64)
-    if standardized:
-        dists = sp.csr_matrix(adata_sp.obsp["spatial_distances"], dtype=np.float64)
-        row_sums = np.asarray(np.abs(dists).sum(axis=1)).ravel()
-        scale = np.divide(1.0, row_sums, out=np.zeros_like(row_sums), where=row_sums != 0)
-        g = sp.diags(scale) @ dists
-        # mask to the connectivity pattern (identical pattern in practice)
-        mask = conn.copy()
-        mask.data[:] = 1.0
-        W = g.multiply(mask).toarray()
-    else:
-        W = conn.toarray()
+    W = sparse_weights(adata_sp, standardized).toarray()
     if self_inclusion:
         W = W + np.eye(W.shape[0])
     return W
@@ -136,15 +132,8 @@ def neighbor_graph(
     import jax.numpy as jnp
 
     _require_graph(adata_sp)
-    conn = sp.csr_matrix(adata_sp.obsp["spatial_connectivities"], dtype=np.float64)
-    n = conn.shape[0]
-    if standardized:
-        dists = sp.csr_matrix(adata_sp.obsp["spatial_distances"], dtype=np.float64)
-        row_sums = np.asarray(np.abs(dists).sum(axis=1)).ravel()
-        scale = np.divide(1.0, row_sums, out=np.zeros_like(row_sums), where=row_sums != 0)
-        W = (sp.diags(scale) @ dists).multiply(conn.sign()).tocsr()
-    else:
-        W = conn.sign().tocsr()
+    W = sparse_weights(adata_sp, standardized)
+    n = W.shape[0]
 
     nnz = np.diff(W.indptr)
     k = int(nnz.max()) if n else 0
@@ -153,16 +142,32 @@ def neighbor_graph(
     if max_neighbors is not None:
         k = min(k, max_neighbors)
 
+    # CSR → padded (s, k) in one scatter: each stored entry goes to
+    # (its row, its within-row position); entries past k are dropped.
     indices = np.zeros((n, k), dtype=np.int32)
     weights = np.zeros((n, k), dtype=np.float32)
-    for i in range(n):
-        start, stop = W.indptr[i], W.indptr[i + 1]
-        cols = W.indices[start:stop]
-        vals = W.data[start:stop]
-        if self_inclusion:
-            cols = np.concatenate([cols, [i]])
-            vals = np.concatenate([vals, [1.0]])
-        m = min(len(cols), k)
-        indices[i, :m] = cols[:m]
-        weights[i, :m] = vals[:m]
+    rows = np.repeat(np.arange(n), nnz)
+    slots = np.arange(W.nnz) - np.repeat(W.indptr[:-1], nnz)
+    keep = slots < k
+    indices[rows[keep], slots[keep]] = W.indices[keep]
+    weights[rows[keep], slots[keep]] = W.data[keep]
+    if self_inclusion:
+        # self-edge appended after each row's entries, when it still fits
+        fits = np.nonzero(nnz < k)[0]
+        indices[fits, nnz[fits]] = fits
+        weights[fits, nnz[fits]] = 1.0
     return NeighborGraph(jnp.asarray(indices), jnp.asarray(weights))
+
+
+def sparse_weights(adata_sp, standardized: bool) -> sp.csr_matrix:
+    """The spot-graph weight matrix in scipy CSR form — O(nnz) memory, the
+    shared core of :func:`spatial_weights` (dense), :func:`neighbor_graph`
+    (padded structure-of-arrays) and the Moran SVG statistics."""
+    _require_graph(adata_sp)
+    conn = sp.csr_matrix(adata_sp.obsp["spatial_connectivities"], dtype=np.float64)
+    if not standardized:
+        return conn.sign().tocsr()
+    dists = sp.csr_matrix(adata_sp.obsp["spatial_distances"], dtype=np.float64)
+    row_sums = np.asarray(np.abs(dists).sum(axis=1)).ravel()
+    scale = np.divide(1.0, row_sums, out=np.zeros_like(row_sums), where=row_sums != 0)
+    return (sp.diags(scale) @ dists).multiply(conn.sign()).tocsr()

@@ -222,3 +222,21 @@ def test_delaunay_spatial_neighbors(rng):
     # Delaunay adjacency is symmetric
     assert (conn != conn.T).nnz == 0
     assert conn.diagonal().sum() == 0
+
+
+def test_spatial_neighbors_duplicate_coords_no_self_loop(rng):
+    """With duplicated spot coordinates, the kNN graph must still drop the
+    self-edge by identity (not by column position) and keep real neighbors."""
+    from tangram_tpu.spatial import spatial_neighbors
+
+    n = 12
+    coords = rng.random((n, 2))
+    coords[6] = coords[3]  # exact duplicate pair
+    coords[9] = coords[3]  # triplicate
+    ad_sp = tg.AnnData(X=np.ones((n, 3), np.float32))
+    ad_sp.obsm["spatial"] = coords
+    spatial_neighbors(ad_sp, n_neighs=4)
+    conn = ad_sp.obsp["spatial_connectivities"]
+    assert conn.diagonal().sum() == 0
+    # every row keeps its full neighbor budget
+    assert (np.asarray(conn.sum(axis=1)).ravel() >= 4).all()

@@ -1,0 +1,76 @@
+"""Multi-process smoke test: ``parallel.init_distributed`` must bring up a
+2-process jax.distributed runtime on CPU whose global mesh spans both
+processes and whose collectives cross the process boundary.
+
+The reference has no multi-node machinery at all (SURVEY §2.3); this is the
+TPU-native replacement's minimal liveness check, run with two spawned
+Python processes on localhost (the same wire protocol a multi-host TPU pod
+uses, minus ICI).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+from tangram_tpu.parallel import init_distributed
+
+coordinator, n_proc, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+init_distributed(coordinator_address=coordinator, num_processes=n_proc, process_id=pid)
+
+assert jax.process_count() == n_proc, jax.process_count()
+assert jax.device_count() == 2 * n_proc, jax.device_count()
+
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+mesh = Mesh(np.asarray(jax.devices()), ("x",))
+local = np.full(2, float(pid + 1), np.float32)  # process 0 -> 1s, 1 -> 2s
+arr = jax.make_array_from_process_local_data(NamedSharding(mesh, P("x")), local)
+total = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(arr)
+expect = 2.0 * sum(range(1, n_proc + 1))  # 2 devices per process
+assert float(total) == expect, (float(total), expect)
+print(f"proc {pid}: global reduce across {jax.device_count()} devices OK")
+"""
+
+
+def test_two_process_cpu_mesh(tmp_path):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coordinator = f"127.0.0.1:{port}"
+
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(__file__)))
+    env.pop("JAX_PLATFORMS", None)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), coordinator, "2", str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True,
+        )
+        for pid in range(2)
+    ]
+    outputs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=150)
+            outputs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("distributed smoke test timed out:\n" + "\n".join(outputs))
+
+    for pid, (p, out) in enumerate(zip(procs, outputs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert "global reduce" in out, out

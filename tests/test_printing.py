@@ -67,3 +67,53 @@ def test_print_and_val_combined(problem, capsys):
     assert len(lines) == 2
     assert len(hist["val_gene_sim"]) == 5  # epochs 0,4,8,12,16
     assert len(hist["total_loss"]) == 20
+
+
+def test_print_each_zero_means_no_printing(problem, capsys):
+    """print_each=0 must behave like None (the reference fails fast on
+    `t % 0`; a zero chunk size must not hang the chunked scan)."""
+    S, G, d = problem
+    mapper = Mapper(S=S, G=G, random_state=2)
+    out, hist = mapper.train(num_epochs=5, learning_rate=0.1, print_each=0)
+    assert capsys.readouterr().out == ""
+    assert len(hist["total_loss"]) == 5
+
+    mc = MapperConstrained(S=S, G=G, d=d, target_count=6, random_state=2)
+    _, _, hist_c = mc.train(num_epochs=3, learning_rate=0.1, print_each=0)
+    assert capsys.readouterr().out == ""
+    assert len(hist_c["total_loss"]) == 3
+
+
+def test_zero_epochs_does_not_crash(problem):
+    S, G, d = problem
+    mapper = Mapper(S=S, G=G, random_state=2)
+    out, hist = mapper.train(num_epochs=0, learning_rate=0.1, print_each=10)
+    assert hist["total_loss"] == []
+    np.testing.assert_allclose(out.sum(axis=1), 1.0, rtol=1e-5)
+
+
+def test_val_metrics_are_post_step(problem):
+    """Validation entries must reflect the reference's order — evaluated
+    after optimizer.step() (mapping_optimizer.py:394-403), so the epoch-0
+    value differs from metrics of the raw init."""
+    from tangram_tpu.ops.losses import val_metrics
+
+    S, G, d = problem
+    m = Mapper(S=S, G=G, random_state=2)
+    M0 = m.M
+    out, hist = m.train(num_epochs=3, learning_rate=0.1, print_each=None, val_each=1)
+    pre_step = float(val_metrics(M0, m.data.S, m.data.G)["val_gene_sim"])
+    post_step = float(val_metrics(m.M, m.data.S, m.data.G)["val_gene_sim"])
+    assert hist["val_gene_sim"][0] != pytest.approx(pre_step, abs=1e-9)
+    # the last recorded entry is the metric after the final step
+    assert hist["val_gene_sim"][-1] == pytest.approx(post_step, rel=1e-5)
+
+
+def test_sparse_val_cadence_entries_are_finite(problem):
+    """With val_each=7 only evaluated epochs survive into the history and
+    none of them are the NaN placeholders of skipped epochs."""
+    S, G, d = problem
+    m = Mapper(S=S, G=G, random_state=2)
+    _, hist = m.train(num_epochs=20, learning_rate=0.1, print_each=None, val_each=7)
+    assert len(hist["val_gene_sim"]) == 3  # epochs 0, 7, 14
+    assert np.isfinite(hist["val_gene_sim"]).all()
