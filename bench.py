@@ -1,15 +1,30 @@
-"""Benchmark: the reference's headline workload on one TPU chip.
+"""Benchmark: the reference's headline workload + the north-star projection.
 
-Baseline anchor (BASELINE.md): the reference maps "~50k cells in a few
-minutes" on a P100; its tutorial workload is 26k cells → 9,852 Slide-seq
-voxels with 249 training genes at the default 1000 epochs
-(``tutorial_tangram_without_squidpy.ipynb``, ``mapping_utils.py:148-149``).
-We time exactly that shape — 26,000 × 9,852 × 249, 1000 Adam epochs, full
-density-KL loss — end to end (one jit-compiled lax.scan through the fused
-Pallas kernels, full on-device history included) and compare against a 180 s
-"few minutes on P100" reading of the baseline.
+Baseline anchors (BASELINE.md):
+- the reference maps "~50k cells in a few minutes" on a P100; its tutorial
+  workload is 26k cells → 9,852 Slide-seq voxels with 249 training genes at
+  the default 1000 epochs. We time exactly that shape end to end (one
+  jit-compiled lax.scan through the fused Pallas kernels, on-device history
+  included) against a 180 s "few minutes" reading.
+- the north star (BASELINE.json): 100k cells × 50k spots to loss-parity
+  in < 60 s on a v5e-8.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Loss-parity is a measured stopping criterion, not a fixed epoch count: the
+JAX optimizer reproduces the torch reference's trajectory step for step
+(tests/test_mapper_parity.py), so the reference's final train score on a
+problem IS this implementation's 1000-epoch score. seconds_to_loss_parity =
+(first epoch whose pre-step score is within 1e-4 of the 1000-epoch score)
+× the measured per-epoch wall time.
+
+Only one real chip is available here, so the v5e-8 north star is projected,
+with the method stated in the output: under the 1-D fused cell sharding
+(parallel/fused_sharded.py) each of 8 chips holds a 12,500 × 50,000 shard
+and runs exactly the single-chip kernels plus two psums of the (spots ×
+genes) projection. We MEASURE the per-chip shard shape on the real chip and
+add an ICI model for the psums; correctness of the sharded math is asserted
+separately on an 8-device CPU mesh (tests/test_fused_sharded.py, dryrun).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
@@ -20,102 +35,213 @@ import numpy as np
 
 N_CELLS, N_SPOTS, N_GENES, EPOCHS = 26_000, 9_852, 249, 1000
 BASELINE_SECONDS = 180.0  # "a few minutes" on P100 for the tutorial workload
+PARITY_TOL = 1e-4
+
+# v5e ICI: ~100 GB/s usable per link; the 1-D mesh psums move the f32
+# (spots × genes_padded) projection once per step (reduce-scatter+all-gather
+# ≈ 2·(n-1)/n of the buffer over the ring).
+ICI_BYTES_PER_S = 100e9
+
+
+def make_problem(rng, n_cells, n_spots, n_genes=N_GENES):
+    import jax.numpy as jnp
+
+    from tangram_tpu.ops.losses import MapperData
+
+    S = rng.poisson(1.0, (n_cells, n_genes)).astype(np.float32)
+    G = rng.poisson(2.0, (n_spots, n_genes)).astype(np.float32)
+    d = rng.random(n_spots).astype(np.float32)
+    d /= d.sum()
+    return MapperData(S=jnp.asarray(S), G=jnp.asarray(G), d=jnp.asarray(d))
+
+
+def timed_fit(M0, data, lw, epochs, **kwargs):
+    """(elapsed_seconds, main_loss_history) for one full compiled run."""
+    from tangram_tpu.models.mapper import fit_mapping
+
+    t0 = time.perf_counter()
+    params, history = fit_mapping(M0, data, lw, epochs, 0.1, **kwargs)
+    main = np.asarray(history["main_loss"])
+    elapsed = time.perf_counter() - t0
+    del params, history
+    return elapsed, main
+
+
+def step_time(data, lw, n_cells, n_spots, steps=20, **kwargs):
+    """Measured ms/step at a shape (one warm rerun, donated buffers)."""
+    import gc
+
+    from tangram_tpu.models.mapper import fit_mapping, init_logits
+
+    M = init_logits(n_cells, n_spots, random_state=42, method="jax")
+    p, h = fit_mapping(M, data, lw, steps, 0.1, donate=True, **kwargs)
+    _ = float(np.asarray(h["total_loss"])[-1])
+    del p, h
+    gc.collect()
+    M = init_logits(n_cells, n_spots, random_state=42, method="jax")
+    t0 = time.perf_counter()
+    p, h = fit_mapping(M, data, lw, steps, 0.1, donate=True, **kwargs)
+    _ = float(np.asarray(h["total_loss"])[-1])
+    elapsed = time.perf_counter() - t0
+    del p, h
+    gc.collect()
+    return elapsed / steps * 1e3
+
+
+def _spatial_reg_step_time(rng, kwargs, n_cells=26_000, n_spots=50_000):
+    """ms/step with neighborhood-g1 + Geary regularizers on a 50k-spot k-NN
+    graph (VERDICT: atlas-scale spatial regularizers end-to-end)."""
+    import gc
+
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from tangram_tpu import adlite
+    from tangram_tpu.ops.losses import LossWeights, spatial_local_indicators
+    from tangram_tpu.spatial import neighbor_graph, spatial_neighbors
+
+    ad_sp = adlite.AnnData(
+        X=np.ones((n_spots, 1), np.float32),
+        obs=pd.DataFrame(index=np.arange(n_spots).astype(str)),
+    )
+    ad_sp.obsm["spatial"] = rng.random((n_spots, 2)) * 1000
+    spatial_neighbors(ad_sp, n_neighs=6)
+    voxel_graph = neighbor_graph(ad_sp, standardized=True, self_inclusion=True)
+    autocorr_graph = neighbor_graph(ad_sp, standardized=True, self_inclusion=False)
+
+    lw = LossWeights(
+        lambda_g1=1.0, lambda_d=1.0, lambda_neighborhood_g1=0.5, lambda_geary=0.3
+    )
+    data = make_problem(rng, n_cells, n_spots)
+    _, _, geary_ref = spatial_local_indicators(data.G, autocorr_graph, lw)
+    data = data._replace(
+        voxel_weights=voxel_graph,
+        spatial_weights=autocorr_graph,
+        geary_ref=jnp.asarray(geary_ref),
+    )
+    ms = step_time(data, lw, n_cells, n_spots, impl="pallas", **kwargs)
+    del data
+    gc.collect()
+    return ms
 
 
 def main():
+    import gc
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    import jax.numpy as jnp
-
-    from tangram_tpu.models.mapper import fit_mapping, init_logits
-    from tangram_tpu.ops.losses import LossWeights, MapperData
+    from tangram_tpu.models.mapper import init_logits
+    from tangram_tpu.ops.losses import LossWeights
 
     backend = jax.default_backend()
-    if backend == "cpu":
-        # CI/dev fallback: scale the problem down, still report honestly.
-        n_cells, n_spots, epochs = 2_600, 985, 50
-    else:
+    on_tpu = backend == "tpu"
+    if on_tpu:
         n_cells, n_spots, epochs = N_CELLS, N_SPOTS, EPOCHS
+    else:
+        # CI/dev fallback: a scaled-down PROJECTED number, labeled as such.
+        n_cells, n_spots, epochs = 2_600, 985, 50
 
     rng = np.random.default_rng(0)
-    S = rng.poisson(1.0, (n_cells, N_GENES)).astype(np.float32)
-    G = rng.poisson(2.0, (n_spots, N_GENES)).astype(np.float32)
-    d = rng.random(n_spots).astype(np.float32)
-    d /= d.sum()
-
     lw = LossWeights(lambda_g1=1.0, lambda_d=1.0)
-    data = MapperData(S=jnp.asarray(S), G=jnp.asarray(G), d=jnp.asarray(d))
+    data = make_problem(rng, n_cells, n_spots)
     M0 = init_logits(n_cells, n_spots, random_state=42, method="jax")
 
-    # bf16 Adam moments: halves optimizer-state HBM traffic; final training
-    # score matches f32 to 4 decimals (reported below as evidence)
+    # bf16 Adam moments + bf16 matmul inputs: halves optimizer-state HBM
+    # traffic; final training score matches f32 to 4 decimals.
     kwargs = dict(moment_dtype="bfloat16", compute_dtype="bfloat16")
 
-    # compile (persistent-cached; excluded from timing like the reference's
-    # one-time CUDA-context startup)
-    params, history = fit_mapping(M0, data, lw, epochs, 0.1, **kwargs)
-    _ = float(np.asarray(history["total_loss"])[-1])
+    # compile (persistent-cached; excluded like the reference's CUDA startup)
+    timed_fit(M0, data, lw, epochs, **kwargs)
 
-    t0 = time.perf_counter()
-    params, history = fit_mapping(M0 * 1.0001, data, lw, epochs, 0.1, **kwargs)
-    final_score = float(np.asarray(history["main_loss"])[-1])
-    elapsed = time.perf_counter() - t0
+    elapsed, main_loss = timed_fit(M0 * 1.0001, data, lw, epochs, **kwargs)
+    final_score = float(main_loss[-1])
 
-    # normalize to the full workload if we had to scale down
+    # --- time-to-loss-parity: measured epochs needed × measured epoch time
+    target = final_score - PARITY_TOL
+    reached = np.nonzero(main_loss >= target)[0]
+    parity_epoch = int(reached[0]) if len(reached) else epochs
+    per_epoch = elapsed / epochs
+    seconds_to_parity = parity_epoch * per_epoch
+
     scale = (N_CELLS * N_SPOTS * EPOCHS) / (n_cells * n_spots * epochs)
-    projected = elapsed * scale
-
     result = {
         "metric": f"tutorial_mapping_26k_cells_x_9852_spots_{EPOCHS}_epochs",
-        "value": round(projected, 3),
+        "value": round(elapsed * scale, 3),
         "unit": "seconds",
-        "vs_baseline": round(BASELINE_SECONDS / projected, 2),
+        "vs_baseline": round(BASELINE_SECONDS / (elapsed * scale), 2),
         "backend": backend,
+        "projected": not on_tpu,
         "raw_seconds": round(elapsed, 3),
         "epochs_per_s": round(epochs / elapsed, 2),
         "final_train_score": round(final_score, 4),
+        "seconds_to_loss_parity": round(seconds_to_parity, 3),
+        "parity_epoch": parity_epoch,
+        "parity_target_score": round(target, 5),
     }
 
-    if backend == "tpu":
-        # secondary: atlas scale on ONE chip (M alone is 5 GB; the reference's
-        # P/dP materialization cannot fit at this size on any 16 GB device)
+    if on_tpu:
         try:
-            import gc
+            del M0, data
+            gc.collect()
 
-            del params, history, M0, data
+            # --- measured single-chip scaling table (no linear model) ---
+            table = {}
+            for c, s in [(13_000, 9_852), (26_000, 9_852), (26_000, 25_000),
+                         (50_000, 25_000)]:
+                d = make_problem(rng, c, s)
+                table[f"{c}x{s}"] = round(
+                    step_time(d, lw, c, s, impl="pallas", **kwargs), 1
+                )
+                del d
+                gc.collect()
+            result["ms_per_step_measured"] = table
+            result["atlas_50k_cells_x_25k_spots_ms_per_step"] = table[
+                "50000x25000"
+            ]
+
+            # --- north-star projection: measure the EXACT per-chip shard of
+            # the v5e-8 1-D cell sharding (100k/8 = 12.5k cells × 50k spots),
+            # then add the psum model for the (spots × genes) collectives.
+            d = make_problem(rng, 12_500, 50_000)
+            shard_ms = step_time(d, lw, 12_500, 50_000, impl="pallas", **kwargs)
+            del d
             gc.collect()
-            c2, s2 = 50_000, 25_000
-            S2 = rng.poisson(1.0, (c2, N_GENES)).astype(np.float32)
-            G2 = rng.poisson(2.0, (s2, N_GENES)).astype(np.float32)
-            d2 = rng.random(s2).astype(np.float32)
-            d2 /= d2.sum()
-            data2 = MapperData(
-                S=jnp.asarray(S2), G=jnp.asarray(G2), d=jnp.asarray(d2)
+            genes_padded = -(-N_GENES // 128) * 128
+            psum_bytes = 2 * (50_000 * genes_padded * 4) * (7 / 8)
+            psum_ms = psum_bytes / ICI_BYTES_PER_S * 1e3
+            ns_epoch_ms = shard_ms + psum_ms
+            # epochs-to-parity measured on the tutorial problem above; the
+            # parity fraction is a property of the optimization schedule,
+            # not the shape
+            ns_parity_s = ns_epoch_ms * parity_epoch / 1e3
+            result["north_star_projection"] = {
+                "shape": "100000x50000 on v5e-8, 1-D cell sharding",
+                "per_chip_shard": "12500x50000 (measured on this chip)",
+                "shard_ms_per_step": round(shard_ms, 2),
+                "psum_model_ms_per_step": round(psum_ms, 2),
+                "projected_seconds_1000_epochs": round(ns_epoch_ms, 3),
+                "projected_seconds_to_parity": round(ns_parity_s, 3),
+                "meets_60s_target": bool(ns_parity_s < 60.0),
+                "method": "measured per-chip shard step time + ICI ring "
+                          "psum model (2*(n-1)/n of the f32 spots x "
+                          "genes_padded projection at 100 GB/s); sharded "
+                          "math asserted equal to single-device on an "
+                          "8-device CPU mesh (tests/test_fused_sharded.py)",
+            }
+            # --- spatial regularizers at atlas spot counts: k-NN structured
+            # graphs (NeighborGraph) keep the W-products O(spots·k) — the
+            # dense s×s form would be 10 GB at 50k spots before training
+            # even starts, and the reference's Geary term is O(s²·g).
+            result["spatial_reg_knn_50k_spots_ms_per_step"] = round(
+                _spatial_reg_step_time(rng, kwargs), 1
             )
-            M2 = init_logits(c2, s2, random_state=42, method="jax")
-            p2, h2 = fit_mapping(
-                M2, data2, lw, 20, 0.1, impl="pallas",
-                moment_dtype="bfloat16", compute_dtype="bfloat16", donate=True,
+        except Exception as err:  # secondary metrics are best-effort
+            result["atlas_50k_cells_x_25k_spots_ms_per_step"] = (
+                f"failed: {type(err).__name__}: {err}"
             )
-            _ = float(np.asarray(h2["total_loss"])[-1])
-            del p2, h2
-            gc.collect()
-            M2 = init_logits(c2, s2, random_state=42, method="jax")
-            t0 = time.perf_counter()
-            p2, h2 = fit_mapping(
-                M2, data2, lw, 20, 0.1, impl="pallas",
-                moment_dtype="bfloat16", compute_dtype="bfloat16", donate=True,
-            )
-            _ = float(np.asarray(h2["total_loss"])[-1])
-            atlas = time.perf_counter() - t0
-            result["atlas_50k_cells_x_25k_spots_ms_per_step"] = round(
-                atlas / 20 * 1e3, 1
-            )
-        except Exception as err:  # atlas metric is best-effort
-            result["atlas_50k_cells_x_25k_spots_ms_per_step"] = f"failed: {type(err).__name__}"
 
     print(json.dumps(result))
 
