@@ -287,9 +287,14 @@ def _run_population(
     )
     arrays = arrays + (jnp.asarray(getis_ref, dtype=jnp.float32),)
 
-    # 3 seeded inits, shared across every config (reference seeds runs 0,1,2)
+    # Repeat-run inits reproduce the reference stream exactly: run r passes
+    # random_state=r to the Mapper (mapping_parameter_tuning.py:121), and
+    # random_state=0 is falsy there, so run 0 continues the ambient numpy
+    # stream while runs 1, 2 reseed — init_logits('numpy') has the same
+    # semantics, making the 5 stability metrics comparable run-for-run with
+    # the reference tuner (tests/test_tuning.py pins this).
     M0s = jnp.stack(
-        [init_logits(n_cells, n_spots, None if r == 0 else r, "jax") for r in range(N_REPEATS)]
+        [init_logits(n_cells, n_spots, r, "auto") for r in range(N_REPEATS)]
     )
 
     lam_keys = [k for k in TUNABLE_KEYS if k not in ("learning_rate", "num_epochs")]

@@ -139,3 +139,61 @@ def test_tuner_loss_matches_reference_terms(rng):
     )
     total, _ = tuning._tuner_loss(jnp.asarray(M), {k: jnp.float32(v) for k, v in lam.items()}, arrays)
     assert float(total) == pytest.approx(ref_total, rel=3e-4)
+
+
+def test_repeat_run_inits_match_reference_stream():
+    """The tuner's 3 repeat inits must be the exact N(0,1) matrices the
+    reference tuner's Mappers draw (random_state=run for run in 0,1,2, with
+    0 falsy → unseeded continuation of the ambient numpy stream)."""
+    from tangram_tpu.models.mapper import init_logits
+
+    c, s = 14, 9
+    np.random.seed(777)  # shared ambient stream state for run 0
+    ours = [np.asarray(init_logits(c, s, r, "auto")) for r in range(3)]
+
+    np.random.seed(777)
+    theirs = []
+    for run in range(3):
+        if run:  # the reference's `if random_state:` guard
+            np.random.seed(run)
+        theirs.append(np.random.normal(0, 1, (c, s)).astype(np.float32))
+
+    for r in range(3):
+        np.testing.assert_array_equal(ours[r], theirs[r])
+
+
+@pytest.mark.skipif(REF is None, reason="torch reference unavailable")
+def test_stability_metrics_comparable_with_reference_runs(rng):
+    """Run-for-run comparability (VERDICT weak #5): train our 3 repeat
+    mappers and the reference's 3 mappers with the same seeding scheme and
+    assert the resulting stability metrics agree."""
+    from tangram_tpu.models.mapper import Mapper
+
+    n_cells, n_spots, n_genes = 16, 10, 8
+    S = (rng.poisson(2.0, (n_cells, n_genes)) + 0.5).astype(np.float32)
+    G = (rng.poisson(3.0, (n_spots, n_genes)) + 0.5).astype(np.float32)
+
+    def three_runs(make_mapper):
+        out = []
+        np.random.seed(123)  # pin the ambient stream feeding run 0
+        for run in range(3):
+            M, _ = make_mapper(run)
+            out.append(np.asarray(M))
+        return np.stack(out)
+
+    ref_cube = three_runs(
+        lambda run: REF.Mapper(S=S, G=G, device="cpu", random_state=run).train(
+            num_epochs=30, learning_rate=0.1, print_each=None
+        )
+    )
+    our_cube = three_runs(
+        lambda run: Mapper(
+            S=S, G=G, random_state=run, init_method="numpy"
+        ).train(num_epochs=30, learning_rate=0.1, print_each=None)
+    )
+
+    np.testing.assert_allclose(our_cube, ref_cube, atol=2e-3)
+    for metric in (tuning.pearson_corr, tuning.vote_entropy, tuning.consensus_entropy):
+        np.testing.assert_allclose(
+            metric(our_cube), metric(ref_cube), rtol=1e-3, atol=1e-3
+        )
