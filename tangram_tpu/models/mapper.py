@@ -507,19 +507,13 @@ class Mapper:
             spot_sharded = (
                 "spot" in self.mesh.axis_names and self.mesh.shape["spot"] > 1
             )
-            has_spatial_terms = (
-                self.lw.lambda_neighborhood_g1 != 0
-                or self.lw.lambda_ct_islands != 0
-                or self.lw.lambda_getis_ord != 0
-                or self.lw.lambda_moran != 0
-                or self.lw.lambda_geary != 0
+            has_norm_penalties = (
+                self.lw.lambda_l1 != 0 or self.lw.lambda_l2 != 0
             )
             use_fused_mesh = (
                 "cell" in self.mesh.axis_names
                 and not with_val
-                and self.lw.lambda_l1 == 0
-                and self.lw.lambda_l2 == 0
-                and not (spot_sharded and has_spatial_terms)
+                and not (spot_sharded and has_norm_penalties)
             )
             if use_fused_mesh:
                 params, history = fit_mapping_fused_sharded(
@@ -705,10 +699,7 @@ class MapperConstrained:
         if self.mesh is not None:
             from ..parallel import fit_mapping_fused_sharded, fit_mapping_sharded
 
-            spot_sharded = (
-                "spot" in self.mesh.axis_names and self.mesh.shape["spot"] > 1
-            )
-            if "cell" in self.mesh.axis_names and not spot_sharded:
+            if "cell" in self.mesh.axis_names:
                 params, history = fit_mapping_fused_sharded(
                     (self.M, self.F), self.data, self.lw, num_epochs,
                     float(learning_rate), mesh=self.mesh,

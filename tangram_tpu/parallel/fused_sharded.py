@@ -107,7 +107,15 @@ def _cell_step_unconstrained(M, count, mu, nu, stats, S_local, ct_local,
     k_real = A.shape[1]
     A_p = _pad_k(A).astype(compute_dtype)
 
-    m, l, u = stats
+    need_norms = lw.lambda_l1 != 0 or lw.lambda_l2 != 0
+    if need_norms:
+        # padded cell rows hold zero logits, so their |M| / M**2 sums vanish
+        m, l, u, s1, s2 = stats
+        l1_sum = jax.lax.psum(jnp.sum(s1), axis)
+        l2_sum = jax.lax.psum(jnp.sum(s2), axis)
+    else:
+        m, l, u = stats
+        l1_sum = l2_sum = None
     Y_partial, q_partial = _project(M, A_p, w_local, m, l)
     Y = jax.lax.psum(Y_partial, axis)
     q = jax.lax.psum(q_partial, axis)
@@ -116,7 +124,7 @@ def _cell_step_unconstrained(M, count, mu, nu, stats, S_local, ct_local,
 
     def epilogue(Y, q, h1):
         # the epilogue consumes h only through sum(h); feed it the global sum
-        return unconstrained_epilogue(Y, q, h1, None, None, data, lw)
+        return unconstrained_epilogue(Y, q, h1, l1_sum, l2_sum, data, lw)
 
     total, vjp, terms = jax.vjp(
         epilogue, Y[:, :k_real], q, h_sum.reshape(1), has_aux=True
@@ -128,11 +136,13 @@ def _cell_step_unconstrained(M, count, mu, nu, stats, S_local, ct_local,
     r = _rbar(M, A_p, w_local, m, l, dY_p, dq, dh_local)
 
     count_new = count + 1
-    M_new, mu_new, nu_new, m2, l2, u2 = _dm_adam(
+    out = _dm_adam(
         M, A_p, w_local, m, l, dY_p, dq, dh_local, r, mu, nu,
-        _adam_scalars(count_new, learning_rate), 0.0, 0.0, with_norms=False,
+        _adam_scalars(count_new, learning_rate), lw.lambda_l1, lw.lambda_l2,
+        with_norms=need_norms,
     )
-    return (M_new, count_new, mu_new, nu_new, (m2, l2, u2)), terms
+    M_new, mu_new, nu_new = out[:3]
+    return (M_new, count_new, mu_new, nu_new, tuple(out[3:])), terms
 
 
 def _cell_step_constrained(M, F, count, mu, nu, muF, nuF, stats, S_local,
@@ -202,101 +212,103 @@ def _merge_rowstats(m_l, l_l, u_l, axis):
     return m_g, l_g, u_g
 
 
-def _core_epilogue_2d(Y, q, h_sum, G_local, d_local, gene_mask, svalid,
-                      lw: LossWeights, n_spots_real: int, spot_axis: str):
-    """Core loss terms (λ_g1/λ_g2 expression, density KL, entropy) with
-    spot-axis reductions as psums — numerically identical to
-    ``unconstrained_epilogue`` on the unsharded problem."""
-    G = G_local if gene_mask is None else G_local * gene_mask[None, :]
-    Gp = Y * svalid[:, None]
+def _grid_step(M, F, count, mu, nu, muF, nuF, stats_l, S_local, ct_local,
+               w_local, cvalid, data_repl, lw, learning_rate, compute_dtype,
+               n_spots_real, constrained):
+    """One fused Adam step on a (cell, spot) block shard.
 
-    def spot_sum(x):
-        return jax.lax.psum(jnp.sum(x, axis=0), spot_axis)
+    The softmax stats are merged across spot shards; the (spots × k)
+    projection is psum'd over the cell axis, all-gathered over the spot axis
+    and trimmed to the real spot count, so the FULL single-device epilogue —
+    expression terms, density KL, entropy, spot-graph regularizers, ct
+    islands, and the constrained filter terms — runs unchanged on every
+    device. The gather happens OUTSIDE the epilogue vjp; the dY/dq
+    cotangents are sliced back to the local shard for the streamed backward
+    kernels.
+    """
+    from ..ops.fused_step import _adam_vector, _dm_adam, _pad_k, _project, _rbar
 
-    terms = {}
-
-    dots = spot_sum(Gp * G)
-    n_pred = jnp.sqrt(jnp.maximum(spot_sum(Gp * Gp), COSINE_EPS**2))
-    n_meas = jnp.sqrt(jnp.maximum(spot_sum(G * G), COSINE_EPS**2))
-    cos_g = dots / (n_pred * n_meas)
-    if gene_mask is None:
-        gv_sim = jnp.mean(cos_g)
+    mask = data_repl.gene_mask
+    S_eff = S_local if mask is None else S_local * mask[None, :]
+    if constrained:
+        w = jax.nn.sigmoid(F) * cvalid
+        A = S_eff * w[:, None]
     else:
-        gv_sim = jnp.sum(cos_g * gene_mask) / jnp.sum(gene_mask)
-    gv_term = lw.lambda_g1 * gv_sim
-    terms["main_loss"] = gv_term / lw.lambda_g1
-
-    if lw.lambda_g2 != 0:
-        dots_v = jnp.sum(Gp * G, axis=1)
-        nv_pred = jnp.sqrt(jnp.maximum(jnp.sum(Gp * Gp, axis=1), COSINE_EPS**2))
-        nv_meas = jnp.sqrt(jnp.maximum(jnp.sum(G * G, axis=1), COSINE_EPS**2))
-        cos_v = (dots_v / (nv_pred * nv_meas)) * svalid
-        vg_sim = jax.lax.psum(jnp.sum(cos_v), spot_axis) / n_spots_real
-        vg_term = lw.lambda_g2 * vg_sim
-        terms["vg_reg"] = vg_sim
-    else:
-        vg_term = 0.0
-        terms["vg_reg"] = jnp.float32(jnp.nan)
-
-    if d_local is not None:
-        d_pred = jnp.log(jnp.where(svalid > 0, q, 1.0))
-        pos = d_local > 0
-        xlogx = jnp.where(pos, d_local * jnp.log(jnp.where(pos, d_local, 1.0)), 0.0)
-        cross = jnp.where(pos, d_local * d_pred, 0.0)
-        density_term = lw.lambda_d * jax.lax.psum(jnp.sum(xlogx - cross), spot_axis)
-        terms["kl_reg"] = (
-            density_term / lw.lambda_d if lw.lambda_d != 0 else jnp.float32(jnp.nan)
+        w = w_local
+        A = (
+            S_eff if ct_local is None
+            else jnp.concatenate([S_eff, ct_local], axis=1)
         )
-    else:
-        density_term = 0.0
-        terms["kl_reg"] = jnp.float32(jnp.nan)
-
-    entropy_term = lw.lambda_r * -h_sum
-    terms["entropy_reg"] = (
-        entropy_term / lw.lambda_r if lw.lambda_r != 0 else jnp.float32(jnp.nan)
-    )
-
-    total = -(gv_term + vg_term) + density_term + entropy_term
-    terms["total_loss"] = total
-    return total, terms
-
-
-def _grid_step_unconstrained(M, count, mu, nu, stats_l, S_local, w_local,
-                             G_local, d_local, gene_mask, cvalid, svalid,
-                             lw, learning_rate, compute_dtype, n_spots_real):
-    from ..ops.fused_step import _dm_adam, _pad_k, _project, _rbar
-
-    S_eff = S_local if gene_mask is None else S_local * gene_mask[None, :]
-    k_real = S_eff.shape[1]
-    A_p = _pad_k(S_eff).astype(compute_dtype)
+    k_real = A.shape[1]
+    A_p = _pad_k(A).astype(compute_dtype)
 
     m, l, u = _merge_rowstats(*stats_l, "spot")
-    Y_partial, q_partial = _project(M, A_p, w_local, m, l)
-    Y = jax.lax.psum(Y_partial, "cell")
-    q = jax.lax.psum(q_partial, "cell")
-    h_local = ((u[:, 0] / l[:, 0]) - m[:, 0] - jnp.log(l[:, 0])) * cvalid
-    h_sum = jax.lax.psum(jnp.sum(h_local), "cell")
+    Y_partial, q_partial = _project(M, A_p, w, m, l)
+    Y_shard = jax.lax.psum(Y_partial, "cell")
+    q_shard = jax.lax.psum(q_partial, "cell")
+    Y_full = jax.lax.all_gather(Y_shard, "spot", axis=0, tiled=True)[:n_spots_real]
+    q_full = jax.lax.all_gather(q_shard, "spot", axis=0, tiled=True)[:n_spots_real]
 
-    def epilogue(Y, q, hs):
-        return _core_epilogue_2d(
-            Y, q, hs, G_local, d_local, gene_mask, svalid, lw,
-            n_spots_real, "spot",
+    h = (u[:, 0] / l[:, 0]) - m[:, 0] - jnp.log(l[:, 0])
+    h_sum = jax.lax.psum(jnp.sum(h * cvalid), "cell")
+
+    if constrained:
+        def epi(Yf, qf, hs, F_l):
+            return constrained_epilogue(
+                Yf[:, :k_real], qf, hs, F_l, data_repl, lw, axis="cell"
+            )
+
+        total, vjp, terms = jax.vjp(epi, Y_full, q_full, h_sum, F, has_aux=True)
+        dY_full, dq_full, dhs, dF_direct = vjp(jnp.ones_like(total))
+    else:
+        def epi(Yf, qf, h1):
+            return unconstrained_epilogue(
+                Yf[:, :k_real], qf, h1, None, None, data_repl, lw
+            )
+
+        total, vjp, terms = jax.vjp(
+            epi, Y_full, q_full, h_sum.reshape(1), has_aux=True
         )
+        dY_full, dq_full, dh1 = vjp(jnp.ones_like(total))
+        dhs = dh1[0]
 
-    total, vjp, terms = jax.vjp(epilogue, Y[:, :k_real], q, h_sum, has_aux=True)
-    dY, dq, dhs = vjp(jnp.ones_like(total))
-    dY_p = _pad_k(dY).astype(compute_dtype)
+    # pad the cotangents back out to the padded spot extent, slice our shard
+    s_local = M.shape[1]
+    j = jax.lax.axis_index("spot")
+    n_spot_shards = jax.lax.psum(1, "spot")
+    pad_rows = s_local * n_spot_shards - n_spots_real
+    dY_l = jax.lax.dynamic_slice_in_dim(
+        jnp.pad(dY_full, ((0, pad_rows), (0, 0))), j * s_local, s_local
+    )
+    dq_l = jax.lax.dynamic_slice_in_dim(
+        jnp.pad(dq_full, (0, pad_rows)), j * s_local, s_local
+    )
     dh_local = jnp.broadcast_to(dhs, (M.shape[0],)) * cvalid
+    dY_p = _pad_k(dY_l).astype(compute_dtype)
 
-    r_l = _rbar(M, A_p, w_local, m, l, dY_p, dq, dh_local)
-    r = jax.lax.psum(r_l, "spot")
+    r = jax.lax.psum(_rbar(M, A_p, w, m, l, dY_p, dq_l, dh_local), "spot")
 
     count_new = count + 1
     M_new, mu_new, nu_new, m2, l2, u2 = _dm_adam(
-        M, A_p, w_local, m, l, dY_p, dq, dh_local, r, mu, nu,
+        M, A_p, w, m, l, dY_p, dq_l, dh_local, r, mu, nu,
         _adam_scalars(count_new, learning_rate), 0.0, 0.0, with_norms=False,
     )
-    return (M_new, count_new, mu_new, nu_new, (m2, l2, u2)), terms
+    if not constrained:
+        return (M_new, count_new, mu_new, nu_new, (m2, l2, u2)), terms
+
+    from ..ops.fused_step import BETA1, BETA2
+
+    gF = (dF_direct + (1.0 - w) * (r[:, 0] - dh_local * (h + 1.0))) * cvalid
+    t = count_new.astype(jnp.float32)
+    F_new, muF_new, nuF_new = _adam_vector(
+        F, gF, muF, nuF, jnp.asarray(learning_rate, jnp.float32),
+        1.0 - BETA1 ** t, 1.0 - BETA2 ** t,
+    )
+    return (
+        (M_new, F_new, count_new, mu_new, nu_new, muF_new, nuF_new,
+         (m2, l2, u2)),
+        terms,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -321,37 +333,28 @@ def fit_mapping_fused_sharded(
     mesh. See the module docstring for supported configurations per mesh
     layout; L1/L2 logit penalties always need the GSPMD path.
     """
-    if lw.lambda_l1 != 0 or lw.lambda_l2 != 0:
-        raise NotImplementedError(
-            "fused sharded path does not support lambda_l1/lambda_l2; "
-            "use parallel.fit_mapping_sharded (GSPMD) instead."
-        )
     constrained = isinstance(params, tuple)
+    has_norm_penalties = lw.lambda_l1 != 0 or lw.lambda_l2 != 0
+    if has_norm_penalties and constrained:
+        raise NotImplementedError(
+            "lambda_l1/lambda_l2 are not part of the constrained loss"
+        )
 
     if mesh is None:
         devices = np.asarray(jax.devices())
         mesh = Mesh(devices.reshape(-1), axis_names=("cell",))
 
     if "spot" in mesh.axis_names and mesh.shape["spot"] > 1:
-        if constrained:
+        if has_norm_penalties:
+            # spot-axis padding plants -1e30 logits whose |M| / M**2 would
+            # poison the norm sums; GSPMD handles this corner instead.
             raise NotImplementedError(
-                "constrained mode on a 2-D mesh is not supported; use a 1-D "
-                "('cell',) mesh or the GSPMD path."
-            )
-        has_spatial = (
-            lw.lambda_neighborhood_g1 != 0
-            or lw.lambda_ct_islands != 0
-            or lw.lambda_getis_ord != 0
-            or lw.lambda_moran != 0
-            or lw.lambda_geary != 0
-        )
-        if has_spatial:
-            raise NotImplementedError(
-                "spot-graph regularizers on a 2-D mesh are not supported by "
-                "the fused path; use a 1-D ('cell',) mesh or GSPMD."
+                "lambda_l1/lambda_l2 on a 2-D mesh are not supported by the "
+                "fused path; use a 1-D ('cell',) mesh or "
+                "parallel.fit_mapping_sharded (GSPMD)."
             )
         return _fit_2d(params, data, lw, num_epochs, learning_rate, mesh,
-                       moment_dtype, compute_dtype)
+                       moment_dtype, compute_dtype, constrained)
 
     return _fit_1d(params, data, lw, num_epochs, learning_rate, mesh,
                    moment_dtype, compute_dtype, constrained)
@@ -405,6 +408,7 @@ def _fit_1d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
         extra_args.append(F0)
 
     def run(M_local, S_local, w_local, data_local, *extras):
+        from ..ops.fused_step import initial_stats
         from ..ops.pallas_core import _rowstats
 
         extras = list(extras)
@@ -415,7 +419,10 @@ def _fit_1d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
         count = jnp.zeros((), jnp.int32)
         mu = jnp.zeros(M_local.shape, moment_dtype)
         nu = jnp.zeros(M_local.shape, moment_dtype)
-        stats = tuple(_rowstats(M_local))
+        stats = (
+            tuple(_rowstats(M_local)) if constrained
+            else tuple(initial_stats(M_local, lw))
+        )
 
         if constrained:
             muF = jnp.zeros(F_l.shape, jnp.float32)
@@ -467,8 +474,10 @@ def _fit_1d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
     return M_f[:n_cells], history
 
 
-def _fit_2d(M0, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
-            compute_dtype):
+def _fit_2d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
+            compute_dtype, constrained):
+    constr = constrained
+    M0 = params[0] if constr else params
     cshards, sshards = mesh.shape["cell"], mesh.shape["spot"]
     n_cells, n_spots = M0.shape
     c_pad = -(-n_cells // cshards) * cshards
@@ -476,64 +485,101 @@ def _fit_2d(M0, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
 
     M0 = _pad_axis(_pad_axis(M0, 0, c_pad), 1, s_pad, value=M_PAD_LOGIT)
     S = _pad_axis(data.S, 0, c_pad)
-    G = _pad_axis(data.G, 0, s_pad)
-    d = _pad_axis(data.d, 0, s_pad)
+    ct = data.ct_encode if (lw.lambda_ct_islands > 0 and data.ct_encode is not None) else None
+    ct = _pad_axis(ct, 0, c_pad)
     if data.d_source is not None:
         w_full = _pad_axis(data.d_source, 0, c_pad)
     else:
         w_full = _pad_axis(
             jnp.full((n_cells,), 1.0 / n_cells, dtype=M0.dtype), 0, c_pad
         )
-    gene_mask = data.gene_mask
+    F0 = None
+    if constr:
+        F0 = _pad_axis(params[1], 0, c_pad, value=F_PAD_LOGIT)
 
     def ns(*spec):
         return NamedSharding(mesh, P(*spec))
 
     M0 = jax.device_put(M0, ns("cell", "spot"))
     S = jax.device_put(S, ns("cell", None))
-    G = jax.device_put(G, ns("spot", None))
-    d = None if d is None else jax.device_put(d, ns("spot"))
+    ct = None if ct is None else jax.device_put(ct, ns("cell", None))
     w_full = jax.device_put(w_full, ns("cell"))
-    gene_mask = None if gene_mask is None else jax.device_put(gene_mask, ns(None))
+    F0 = None if F0 is None else jax.device_put(F0, ns("cell"))
+    # G, d, gene_mask, spot graphs and autocorrelation refs stay REPLICATED:
+    # they are O(spots × genes) — tiny next to M — and the full epilogue
+    # consumes them whole after the spot-axis all-gather of the projection.
+    data_repl = jax.tree.map(
+        lambda x: jax.device_put(x, ns()),
+        data._replace(S=jnp.zeros((1, S.shape[1]), S.dtype), ct_encode=None,
+                      d_source=None),
+    )
+    data_specs = jax.tree.map(lambda _: P(), data_repl)
 
-    d_specs = () if d is None else (P("spot"),)
-    d_args = () if d is None else (d,)
-    gm_specs = () if gene_mask is None else (P(None),)
-    gm_args = () if gene_mask is None else (gene_mask,)
+    extra_specs, extra_args = [], []
+    if ct is not None:
+        extra_specs.append(P("cell", None))
+        extra_args.append(ct)
+    if constr:
+        extra_specs.append(P("cell"))
+        extra_args.append(F0)
 
-    def run(M_local, S_local, w_local, G_local, *rest):
+    def run(M_local, S_local, w_local, data_local, *extras):
         from ..ops.pallas_core import _rowstats
 
-        rest = list(rest)
-        d_l = rest.pop(0) if d is not None else None
-        gm = rest.pop(0) if gene_mask is not None else None
+        extras = list(extras)
+        ct_l = extras.pop(0) if ct is not None else None
+        F_l = extras.pop(0) if constr else None
         cvalid = _cell_validity(M_local.shape[0], n_cells, "cell")
-        svalid = _cell_validity(M_local.shape[1], n_spots, "spot")
         count = jnp.zeros((), jnp.int32)
         mu = jnp.zeros(M_local.shape, moment_dtype)
         nu = jnp.zeros(M_local.shape, moment_dtype)
         stats_l = tuple(_rowstats(M_local))
 
+        if constr:
+            muF = jnp.zeros(F_l.shape, jnp.float32)
+            nuF = jnp.zeros(F_l.shape, jnp.float32)
+
+            def step(carry, _):
+                M, F, count, mu, nu, muF, nuF, stats_l = carry
+                return _grid_step(
+                    M, F, count, mu, nu, muF, nuF, stats_l, S_local, ct_l,
+                    w_local, cvalid, data_local, lw, learning_rate,
+                    compute_dtype, n_spots, True,
+                )
+
+            (M_f, F_f, *_), history = jax.lax.scan(
+                step, (M_local, F_l, count, mu, nu, muF, nuF, stats_l),
+                None, length=num_epochs,
+            )
+            return M_f, F_f, history
+
         def step(carry, _):
             M, count, mu, nu, stats_l = carry
-            new_carry, terms = _grid_step_unconstrained(
-                M, count, mu, nu, stats_l, S_local, w_local, G_local, d_l,
-                gm, cvalid, svalid, lw, learning_rate, compute_dtype,
-                n_spots,
+            return _grid_step(
+                M, None, count, mu, nu, None, None, stats_l, S_local, ct_l,
+                w_local, cvalid, data_local, lw, learning_rate,
+                compute_dtype, n_spots, False,
             )
-            return new_carry, terms
 
         (M_f, *_), history = jax.lax.scan(
             step, (M_local, count, mu, nu, stats_l), None, length=num_epochs
         )
         return M_f, history
 
+    out_specs = (
+        (P("cell", "spot"), P("cell"), P()) if constr
+        else (P("cell", "spot"), P())
+    )
     sharded = _shard_map(
         run,
         mesh,
-        in_specs=(P("cell", "spot"), P("cell", None), P("cell"),
-                  P("spot", None)) + d_specs + gm_specs,
-        out_specs=(P("cell", "spot"), P()),
+        in_specs=(P("cell", "spot"), P("cell", None), P("cell"), data_specs)
+        + tuple(extra_specs),
+        out_specs=out_specs,
     )
-    M_f, history = jax.jit(sharded)(M0, S, w_full, G, *d_args, *gm_args)
+    out = jax.jit(sharded)(M0, S, w_full, data_repl, *extra_args)
+    if constr:
+        M_f, F_f, history = out
+        return (M_f[:n_cells, :n_spots], F_f[:n_cells]), history
+    M_f, history = out
     return M_f[:n_cells, :n_spots], history

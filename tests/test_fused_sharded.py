@@ -219,9 +219,88 @@ def test_mesh_through_public_api(rng):
     )
 
 
-def test_fused_sharded_rejects_l1(rng):
+def test_fused_sharded_l1_l2_matches_single_device(rng):
+    """Raw-logit L1/L2 penalties ride the 1-D fused path (norm sums psum'd
+    from the carried rowstats)."""
     M0, data = make_problem(rng)
+    lw = LossWeights(lambda_g1=1.0, lambda_d=1.0, lambda_l1=0.01, lambda_l2=0.005)
+    p_ref, h_ref = fit_mapping(M0, data, lw, 15, 0.1, impl="pallas", fused=True)
+    p_sh, h_sh = fit_mapping_fused_sharded(M0, data, lw, 15, 0.1, mesh=cell_mesh(8))
+    np.testing.assert_allclose(
+        np.asarray(h_sh["total_loss"]), np.asarray(h_ref["total_loss"]),
+        rtol=2e-4, atol=2e-5,
+    )
+    np.testing.assert_allclose(np.asarray(p_sh), np.asarray(p_ref), atol=5e-3)
+
+
+def test_fused_sharded_2d_rejects_l1(rng):
+    M0, data = make_problem(rng)
+    devs = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh2d = Mesh(devs, axis_names=("cell", "spot"))
     with pytest.raises(NotImplementedError, match="lambda_l1"):
         fit_mapping_fused_sharded(
-            M0, data, LossWeights(lambda_g1=1.0, lambda_l1=0.1), 5, 0.1
+            M0, data, LossWeights(lambda_g1=1.0, lambda_l1=0.1), 5, 0.1,
+            mesh=mesh2d,
         )
+
+
+def test_fused_sharded_2d_spatial_and_ct(rng):
+    """Spot-graph regularizers + ct islands on the 2-D mesh: the full
+    epilogue runs on the gathered projection and must match single-device."""
+    c, s, g = 30, 42, 8
+    M0, data = make_problem(rng, c=c, s=s, g=g)
+    W = (rng.random((s, s)) * (rng.random((s, s)) < 0.3)).astype(np.float32)
+    ct = np.zeros((c, 3), np.float32)
+    ct[np.arange(c), rng.integers(0, 3, c)] = 1
+    lw = LossWeights(
+        lambda_g1=1.0, lambda_d=1.0, lambda_neighborhood_g1=0.4,
+        lambda_ct_islands=0.5, lambda_moran=0.3,
+    )
+    from tangram_tpu.ops.losses import spatial_local_indicators
+
+    _, moran_ref, _ = spatial_local_indicators(data.G, jnp.asarray(W), lw)
+    data = data._replace(
+        voxel_weights=jnp.asarray(W),
+        neighborhood_filter=jnp.asarray(W),
+        ct_encode=jnp.asarray(ct),
+        spatial_weights=jnp.asarray(W),
+        moran_ref=moran_ref,
+    )
+    p_ref, h_ref = fit_mapping(M0, data, lw, 12, 0.1, impl="pallas", fused=True)
+    devs = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh2d = Mesh(devs, axis_names=("cell", "spot"))
+    p_sh, h_sh = fit_mapping_fused_sharded(M0, data, lw, 12, 0.1, mesh=mesh2d)
+    np.testing.assert_allclose(
+        np.asarray(h_sh["total_loss"]), np.asarray(h_ref["total_loss"]),
+        rtol=3e-4, atol=3e-5,
+    )
+    np.testing.assert_allclose(np.asarray(p_sh), np.asarray(p_ref), atol=5e-3)
+
+
+def test_fused_sharded_2d_constrained(rng):
+    """(M, F) constrained training on the 2-D block mesh == single device."""
+    c, s = 30, 42
+    M0, data = make_problem(rng, c=c, s=s)
+    data = data._replace(target_count=jnp.float32(200.0))
+    F0 = jnp.asarray(rng.normal(size=c), jnp.float32)
+    lw = LossWeights(lambda_g1=1.0, lambda_d=1.0, lambda_count=1.0,
+                     lambda_f_reg=1.0)
+    p_ref, h_ref = fit_mapping((M0, F0), data, lw, 15, 0.1, constrained=True,
+                               impl="pallas", fused=True)
+    devs = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh2d = Mesh(devs, axis_names=("cell", "spot"))
+    (M_sh, F_sh), h_sh = fit_mapping_fused_sharded(
+        (M0, F0), data, lw, 15, 0.1, mesh=mesh2d
+    )
+    np.testing.assert_allclose(
+        np.asarray(h_sh["total_loss"]), np.asarray(h_ref["total_loss"]),
+        rtol=3e-4, atol=3e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.nn.softmax(M_sh, axis=1)),
+        np.asarray(jax.nn.softmax(p_ref[0], axis=1)), atol=2e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.nn.sigmoid(F_sh)),
+        np.asarray(jax.nn.sigmoid(p_ref[1])), atol=2e-3,
+    )
