@@ -99,8 +99,14 @@ def train_checkpointed(
     constrained: bool = False,
     impl: str = "auto",
     resume: bool = True,
+    mesh=None,
 ):
     """Train with periodic Orbax checkpoints; resume from the latest one.
+
+    With ``mesh`` set, training runs through the fused multi-chip path
+    (``parallel.fit_mapping_fused_sharded``) and the checkpoint payload is
+    its plain opt-state dict, gathered to host — so an atlas-scale sharded
+    run survives preemption with intact Adam moments.
 
     Returns ``(params, history)`` where history covers epochs actually run in
     this invocation plus any restored prefix.
@@ -111,12 +117,15 @@ def train_checkpointed(
     opt_state = None
     prefix_history = None
     if resume and latest_epoch(checkpoint_dir) is not None:
-        template = make_adam(learning_rate).init(params)
+        template = None if mesh is not None else make_adam(learning_rate).init(params)
         start_epoch, params, opt_state, prefix_history = restore(
             checkpoint_dir, opt_state_template=template
         )
-        params = jax.tree.map(lambda x: jax.numpy.asarray(x), params)
-        opt_state = jax.tree.map(lambda x: jax.numpy.asarray(x), opt_state)
+        if constrained and not isinstance(params, tuple):
+            params = tuple(params.values()) if isinstance(params, dict) else tuple(params)
+        if mesh is None:
+            params = jax.tree.map(lambda x: jax.numpy.asarray(x), params)
+            opt_state = jax.tree.map(lambda x: jax.numpy.asarray(x), opt_state)
 
     histories = [] if prefix_history is None else [prefix_history]
 
@@ -131,17 +140,25 @@ def train_checkpointed(
     epoch = start_epoch
     while epoch < num_epochs:
         chunk = min(checkpoint_every, num_epochs - epoch)
-        params, opt_state, history = fit_mapping(
-            params,
-            data,
-            lw,
-            num_epochs=chunk,
-            learning_rate=learning_rate,
-            constrained=constrained,
-            impl=impl,
-            opt_state=opt_state,
-            return_opt_state=True,
-        )
+        if mesh is not None:
+            from .parallel import fit_mapping_fused_sharded
+
+            params, opt_state, history = fit_mapping_fused_sharded(
+                params, data, lw, chunk, learning_rate, mesh=mesh,
+                opt_state=opt_state, return_opt_state=True,
+            )
+        else:
+            params, opt_state, history = fit_mapping(
+                params,
+                data,
+                lw,
+                num_epochs=chunk,
+                learning_rate=learning_rate,
+                constrained=constrained,
+                impl=impl,
+                opt_state=opt_state,
+                return_opt_state=True,
+            )
         history = jax.device_get(history)
         histories.append({k: np.asarray(v) for k, v in history.items()})
         epoch += chunk

@@ -325,13 +325,18 @@ def fit_mapping_fused_sharded(
     mesh: Mesh = None,
     moment_dtype=jnp.float32,
     compute_dtype=jnp.float32,
+    opt_state=None,
+    return_opt_state=False,
 ):
     """Train over a device mesh with the fused kernels.
 
     ``params`` is M (cells/clusters modes) or ``(M, F)`` (constrained).
-    Returns ``(params_final, history)`` with the parameters sharded over the
-    mesh. See the module docstring for supported configurations per mesh
-    layout; L1/L2 logit penalties always need the GSPMD path.
+    Returns ``(params_final, history)`` — or ``(params_final, opt_state,
+    history)`` with ``return_opt_state`` — with the parameters sharded over
+    the mesh. ``opt_state`` is a plain dict (count + Adam moments, trimmed
+    to the real extents) accepted back by a later call for a bit-exact
+    resume; the softmax stats are recomputed from M. See the module
+    docstring for supported configurations per mesh layout.
     """
     constrained = isinstance(params, tuple)
     has_norm_penalties = lw.lambda_l1 != 0 or lw.lambda_l2 != 0
@@ -354,14 +359,37 @@ def fit_mapping_fused_sharded(
                 "parallel.fit_mapping_sharded (GSPMD)."
             )
         return _fit_2d(params, data, lw, num_epochs, learning_rate, mesh,
-                       moment_dtype, compute_dtype, constrained)
+                       moment_dtype, compute_dtype, constrained,
+                       opt_state=opt_state, return_opt_state=return_opt_state)
 
     return _fit_1d(params, data, lw, num_epochs, learning_rate, mesh,
-                   moment_dtype, compute_dtype, constrained)
+                   moment_dtype, compute_dtype, constrained,
+                   opt_state=opt_state, return_opt_state=return_opt_state)
+
+
+def _opt_arrays(opt_state, shapes, dtypes, pads):
+    """(count, moment arrays...) — zeros for a fresh run, re-padded restored
+    values otherwise. ``shapes``/``dtypes``/``pads`` describe each moment
+    array; checkpointed moments are stored trimmed to the real extents and
+    zero-padding restores them exactly (padded rows never accumulate)."""
+    names = ["mu", "nu", "muF", "nuF"][: len(shapes)]
+    if opt_state is None:
+        count = jnp.zeros((), jnp.int32)
+        arrays = [jnp.zeros(sh, dt) for sh, dt in zip(shapes, dtypes)]
+    else:
+        count = jnp.asarray(opt_state["count"], jnp.int32)
+        arrays = []
+        for name, sh, dt, pad_dims in zip(names, shapes, dtypes, pads):
+            arr = jnp.asarray(opt_state[name], dt)
+            for axis_i, target in pad_dims:
+                arr = _pad_axis(arr, axis_i, target)
+            arrays.append(arr)
+    return count, arrays
 
 
 def _fit_1d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
-            compute_dtype, constrained):
+            compute_dtype, constrained, opt_state=None,
+            return_opt_state=False):
     axis = "cell"
     n_shards = mesh.shape[axis]
     M0 = params[0] if constrained else params
@@ -398,36 +426,52 @@ def _fit_1d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
     )
     data_specs = jax.tree.map(lambda _: P(), data_repl)
 
+    n_spots = M0.shape[1]
+    if constrained:
+        count0, (mu0, nu0, muF0, nuF0) = _opt_arrays(
+            opt_state,
+            [(c_pad, n_spots)] * 2 + [(c_pad,)] * 2,
+            [moment_dtype, moment_dtype, jnp.float32, jnp.float32],
+            [[(0, c_pad)]] * 4,
+        )
+    else:
+        count0, (mu0, nu0) = _opt_arrays(
+            opt_state, [(c_pad, n_spots)] * 2, [moment_dtype] * 2,
+            [[(0, c_pad)]] * 2,
+        )
+        muF0 = nuF0 = None
+    mu0 = jax.device_put(mu0, cell_rows)
+    nu0 = jax.device_put(nu0, cell_rows)
+    count0 = jax.device_put(count0, repl)
+    cell_vec = NamedSharding(mesh, P("cell"))
+    muF0 = None if muF0 is None else jax.device_put(muF0, cell_vec)
+    nuF0 = None if nuF0 is None else jax.device_put(nuF0, cell_vec)
+
     extra_specs = []
     extra_args = []
     if ct is not None:
         extra_specs.append(P("cell", None))
         extra_args.append(ct)
     if constrained:
-        extra_specs.append(P("cell"))
-        extra_args.append(F0)
+        extra_specs.extend([P("cell"), P("cell"), P("cell")])
+        extra_args.extend([F0, muF0, nuF0])
 
-    def run(M_local, S_local, w_local, data_local, *extras):
+    def run(M_local, S_local, w_local, data_local, count, mu, nu, *extras):
         from ..ops.fused_step import initial_stats
         from ..ops.pallas_core import _rowstats
 
         extras = list(extras)
         ct_l = extras.pop(0) if ct is not None else None
-        F_l = extras.pop(0) if constrained else None
+        if constrained:
+            F_l, muF, nuF = extras[:3]
         data_local = data_local._replace(S=S_local)
         cvalid = _cell_validity(M_local.shape[0], n_cells, axis)
-        count = jnp.zeros((), jnp.int32)
-        mu = jnp.zeros(M_local.shape, moment_dtype)
-        nu = jnp.zeros(M_local.shape, moment_dtype)
         stats = (
             tuple(_rowstats(M_local)) if constrained
             else tuple(initial_stats(M_local, lw))
         )
 
         if constrained:
-            muF = jnp.zeros(F_l.shape, jnp.float32)
-            nuF = jnp.zeros(F_l.shape, jnp.float32)
-
             def step(carry, _):
                 M, F, count, mu, nu, muF, nuF, stats = carry
                 new_carry, terms = _cell_step_constrained(
@@ -436,11 +480,13 @@ def _fit_1d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
                 )
                 return new_carry, terms
 
-            (M_f, F_f, *_), history = jax.lax.scan(
-                step, (M_local, F_l, count, mu, nu, muF, nuF, stats),
-                None, length=num_epochs,
+            (M_f, F_f, count_f, mu_f, nu_f, muF_f, nuF_f, _), history = (
+                jax.lax.scan(
+                    step, (M_local, F_l, count, mu, nu, muF, nuF, stats),
+                    None, length=num_epochs,
+                )
             )
-            return M_f, F_f, history
+            return M_f, F_f, count_f, mu_f, nu_f, muF_f, nuF_f, history
 
         def step(carry, _):
             M, count, mu, nu, stats = carry
@@ -450,32 +496,42 @@ def _fit_1d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
             )
             return new_carry, terms
 
-        (M_f, *_), history = jax.lax.scan(
+        (M_f, count_f, mu_f, nu_f, _), history = jax.lax.scan(
             step, (M_local, count, mu, nu, stats), None, length=num_epochs
         )
-        return M_f, history
+        return M_f, count_f, mu_f, nu_f, history
 
+    rows, vec = P("cell", None), P("cell")
     out_specs = (
-        (P("cell", None), P("cell"), P()) if constrained
-        else (P("cell", None), P())
+        (rows, vec, P(), rows, rows, vec, vec, P()) if constrained
+        else (rows, P(), rows, rows, P())
     )
     sharded = _shard_map(
         run,
         mesh,
-        in_specs=(P("cell", None), P("cell", None), P("cell"), data_specs)
+        in_specs=(rows, rows, vec, data_specs, P(), rows, rows)
         + tuple(extra_specs),
         out_specs=out_specs,
     )
-    out = jax.jit(sharded)(M0, S, w_full, data_repl, *extra_args)
+    out = jax.jit(sharded)(M0, S, w_full, data_repl, count0, mu0, nu0,
+                           *extra_args)
     if constrained:
-        M_f, F_f, history = out
-        return (M_f[:n_cells], F_f[:n_cells]), history
-    M_f, history = out
-    return M_f[:n_cells], history
+        M_f, F_f, count_f, mu_f, nu_f, muF_f, nuF_f, history = out
+        result = (M_f[:n_cells], F_f[:n_cells])
+        opt_out = {"count": count_f, "mu": mu_f[:n_cells], "nu": nu_f[:n_cells],
+                   "muF": muF_f[:n_cells], "nuF": nuF_f[:n_cells]}
+    else:
+        M_f, count_f, mu_f, nu_f, history = out
+        result = M_f[:n_cells]
+        opt_out = {"count": count_f, "mu": mu_f[:n_cells], "nu": nu_f[:n_cells]}
+    if return_opt_state:
+        return result, opt_out, history
+    return result, history
 
 
 def _fit_2d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
-            compute_dtype, constrained):
+            compute_dtype, constrained, opt_state=None,
+            return_opt_state=False):
     constr = constrained
     M0 = params[0] if constr else params
     cshards, sshards = mesh.shape["cell"], mesh.shape["spot"]
@@ -523,22 +579,39 @@ def _fit_2d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
         extra_specs.append(P("cell"))
         extra_args.append(F0)
 
-    def run(M_local, S_local, w_local, data_local, *extras):
+    if constr:
+        count0, (mu0, nu0, muF0, nuF0) = _opt_arrays(
+            opt_state,
+            [(c_pad, s_pad)] * 2 + [(c_pad,)] * 2,
+            [moment_dtype, moment_dtype, jnp.float32, jnp.float32],
+            [[(0, c_pad), (1, s_pad)]] * 2 + [[(0, c_pad)]] * 2,
+        )
+    else:
+        count0, (mu0, nu0) = _opt_arrays(
+            opt_state, [(c_pad, s_pad)] * 2, [moment_dtype] * 2,
+            [[(0, c_pad), (1, s_pad)]] * 2,
+        )
+        muF0 = nuF0 = None
+    mu0 = jax.device_put(mu0, ns("cell", "spot"))
+    nu0 = jax.device_put(nu0, ns("cell", "spot"))
+    count0 = jax.device_put(count0, ns())
+    muF0 = None if muF0 is None else jax.device_put(muF0, ns("cell"))
+    nuF0 = None if nuF0 is None else jax.device_put(nuF0, ns("cell"))
+    if constr:
+        extra_specs.extend([P("cell"), P("cell")])
+        extra_args.extend([muF0, nuF0])
+
+    def run(M_local, S_local, w_local, data_local, count, mu, nu, *extras):
         from ..ops.pallas_core import _rowstats
 
         extras = list(extras)
         ct_l = extras.pop(0) if ct is not None else None
-        F_l = extras.pop(0) if constr else None
+        if constr:
+            F_l, muF, nuF = extras[:3]
         cvalid = _cell_validity(M_local.shape[0], n_cells, "cell")
-        count = jnp.zeros((), jnp.int32)
-        mu = jnp.zeros(M_local.shape, moment_dtype)
-        nu = jnp.zeros(M_local.shape, moment_dtype)
         stats_l = tuple(_rowstats(M_local))
 
         if constr:
-            muF = jnp.zeros(F_l.shape, jnp.float32)
-            nuF = jnp.zeros(F_l.shape, jnp.float32)
-
             def step(carry, _):
                 M, F, count, mu, nu, muF, nuF, stats_l = carry
                 return _grid_step(
@@ -547,11 +620,13 @@ def _fit_2d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
                     compute_dtype, n_spots, True,
                 )
 
-            (M_f, F_f, *_), history = jax.lax.scan(
-                step, (M_local, F_l, count, mu, nu, muF, nuF, stats_l),
-                None, length=num_epochs,
+            (M_f, F_f, count_f, mu_f, nu_f, muF_f, nuF_f, _), history = (
+                jax.lax.scan(
+                    step, (M_local, F_l, count, mu, nu, muF, nuF, stats_l),
+                    None, length=num_epochs,
+                )
             )
-            return M_f, F_f, history
+            return M_f, F_f, count_f, mu_f, nu_f, muF_f, nuF_f, history
 
         def step(carry, _):
             M, count, mu, nu, stats_l = carry
@@ -561,25 +636,36 @@ def _fit_2d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
                 compute_dtype, n_spots, False,
             )
 
-        (M_f, *_), history = jax.lax.scan(
+        (M_f, count_f, mu_f, nu_f, _), history = jax.lax.scan(
             step, (M_local, count, mu, nu, stats_l), None, length=num_epochs
         )
-        return M_f, history
+        return M_f, count_f, mu_f, nu_f, history
 
+    block, vec = P("cell", "spot"), P("cell")
     out_specs = (
-        (P("cell", "spot"), P("cell"), P()) if constr
-        else (P("cell", "spot"), P())
+        (block, vec, P(), block, block, vec, vec, P()) if constr
+        else (block, P(), block, block, P())
     )
     sharded = _shard_map(
         run,
         mesh,
-        in_specs=(P("cell", "spot"), P("cell", None), P("cell"), data_specs)
+        in_specs=(block, P("cell", None), vec, data_specs, P(), block, block)
         + tuple(extra_specs),
         out_specs=out_specs,
     )
-    out = jax.jit(sharded)(M0, S, w_full, data_repl, *extra_args)
+    out = jax.jit(sharded)(M0, S, w_full, data_repl, count0, mu0, nu0,
+                           *extra_args)
     if constr:
-        M_f, F_f, history = out
-        return (M_f[:n_cells, :n_spots], F_f[:n_cells]), history
-    M_f, history = out
-    return M_f[:n_cells, :n_spots], history
+        M_f, F_f, count_f, mu_f, nu_f, muF_f, nuF_f, history = out
+        result = (M_f[:n_cells, :n_spots], F_f[:n_cells])
+        opt_out = {"count": count_f, "mu": mu_f[:n_cells, :n_spots],
+                   "nu": nu_f[:n_cells, :n_spots],
+                   "muF": muF_f[:n_cells], "nuF": nuF_f[:n_cells]}
+    else:
+        M_f, count_f, mu_f, nu_f, history = out
+        result = M_f[:n_cells, :n_spots]
+        opt_out = {"count": count_f, "mu": mu_f[:n_cells, :n_spots],
+                   "nu": nu_f[:n_cells, :n_spots]}
+    if return_opt_state:
+        return result, opt_out, history
+    return result, history

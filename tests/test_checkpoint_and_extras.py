@@ -164,3 +164,34 @@ def test_sharded_matches_unsharded(problem):
     np.testing.assert_allclose(
         np.asarray(h_sh["total_loss"]), np.asarray(h_ref["total_loss"]), rtol=1e-4, atol=1e-5
     )
+
+
+def test_train_checkpointed_on_mesh(problem, tmp_path):
+    """Sharded atlas runs survive preemption: chunked fused-sharded training
+    with Orbax checkpoints resumes to the same trajectory as one pass."""
+    import jax
+    from jax.sharding import Mesh
+
+    from tangram_tpu.parallel import fit_mapping_fused_sharded
+
+    M0, data, lw = problem
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(-1), axis_names=("cell",))
+    ckpt_dir = tmp_path / "mesh_ckpts"
+
+    p_full, _ = fit_mapping_fused_sharded(M0, data, lw, 30, 0.1, mesh=mesh)
+
+    p_ck, hist = checkpoint.train_checkpointed(
+        M0, data, lw, 30, 0.1, checkpoint_dir=ckpt_dir, checkpoint_every=10,
+        mesh=mesh,
+    )
+    np.testing.assert_allclose(np.asarray(p_ck), np.asarray(p_full), atol=1e-6)
+    assert len(hist["total_loss"]) == 30
+
+    # crash-at-30 of a 50-epoch run → resume from disk completes it
+    p_resumed, hist2 = checkpoint.train_checkpointed(
+        M0, data, lw, 50, 0.1, checkpoint_dir=ckpt_dir, checkpoint_every=10,
+        mesh=mesh,
+    )
+    p_50, _ = fit_mapping_fused_sharded(M0, data, lw, 50, 0.1, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(p_resumed), np.asarray(p_50), atol=1e-6)
+    assert len(hist2["total_loss"]) == 50

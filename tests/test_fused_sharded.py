@@ -304,3 +304,48 @@ def test_fused_sharded_2d_constrained(rng):
         np.asarray(jax.nn.sigmoid(F_sh)),
         np.asarray(jax.nn.sigmoid(p_ref[1])), atol=2e-3,
     )
+
+
+@pytest.mark.parametrize("mesh_kind", ["1d", "2d"])
+def test_fused_sharded_resume_opt_state(rng, mesh_kind):
+    """Two chunked sharded runs with carried opt_state == one full run."""
+    M0, data = make_problem(rng, c=30, s=42)
+    lw = LossWeights(lambda_g1=1.0, lambda_d=1.0)
+    if mesh_kind == "1d":
+        mesh = cell_mesh(8)
+    else:
+        mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
+                    axis_names=("cell", "spot"))
+
+    p_full, h_full = fit_mapping_fused_sharded(M0, data, lw, 16, 0.1, mesh=mesh)
+    p1, opt1, _ = fit_mapping_fused_sharded(
+        M0, data, lw, 8, 0.1, mesh=mesh, return_opt_state=True
+    )
+    # round-trip through host numpy, as a checkpoint would
+    opt1 = {k: np.asarray(jax.device_get(v)) for k, v in opt1.items()}
+    p2, h2 = fit_mapping_fused_sharded(
+        np.asarray(jax.device_get(p1)), data, lw, 8, 0.1, mesh=mesh,
+        opt_state=opt1,
+    )
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p_full), atol=1e-6)
+
+
+def test_fused_sharded_constrained_resume(rng):
+    c, s = 30, 42
+    M0, data = make_problem(rng, c=c, s=s)
+    data = data._replace(target_count=jnp.float32(200.0))
+    F0 = jnp.asarray(rng.normal(size=c), jnp.float32)
+    lw = LossWeights(lambda_g1=1.0, lambda_d=1.0, lambda_count=1.0,
+                     lambda_f_reg=1.0)
+    mesh = cell_mesh(8)
+    (Mf, Ff), _ = fit_mapping_fused_sharded((M0, F0), data, lw, 16, 0.1, mesh=mesh)
+    (M1, F1), opt1, _ = fit_mapping_fused_sharded(
+        (M0, F0), data, lw, 8, 0.1, mesh=mesh, return_opt_state=True
+    )
+    opt1 = {k: np.asarray(jax.device_get(v)) for k, v in opt1.items()}
+    (M2, F2), _ = fit_mapping_fused_sharded(
+        (np.asarray(jax.device_get(M1)), np.asarray(jax.device_get(F1))),
+        data, lw, 8, 0.1, mesh=mesh, opt_state=opt1,
+    )
+    np.testing.assert_allclose(np.asarray(M2), np.asarray(Mf), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(F2), np.asarray(Ff), atol=1e-6)
