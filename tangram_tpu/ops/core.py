@@ -87,12 +87,21 @@ class NeighborGraph(NamedTuple):
     Dense spot×spot weight matrices (reference ``spatial_weights.py:24-28``)
     cost O(s²) memory — 10 GB at 50k spots. Spatial graphs from
     KNN/Delaunay/Visium grids have ~6 neighbors per spot, so we store
-    (s, k) neighbor indices + weights and implement W @ X as a gather +
-    weighted sum, which XLA maps to efficient dynamic-gathers on TPU.
+    (s, k) neighbor indices + weights and implement W @ X as k gathered
+    weighted accumulations (faster on TPU than the (s, k, g) gather+einsum).
+
+    ``t_indices``/``t_weights`` optionally hold the TRANSPOSE graph in the
+    same form: when present, W @ X uses a custom VJP whose backward is the
+    gather-based ``Wᵀ @ cotangent`` instead of XLA's scatter-add transpose —
+    measured ~2× faster on the training path. The graph arrays themselves
+    are treated as constants (their cotangent is zero); every builder in
+    this package populates the transpose automatically.
     """
 
     indices: jnp.ndarray  # (s, k) int32, padded entries point at row 0
     weights: jnp.ndarray  # (s, k) float32, padded entries have weight 0
+    t_indices: Optional[jnp.ndarray] = None  # (s, k_t) transpose adjacency
+    t_weights: Optional[jnp.ndarray] = None
 
     @property
     def n_spots(self) -> int:
@@ -105,6 +114,8 @@ class NeighborGraph(NamedTuple):
         return jnp.sum(self.weights, axis=1)
 
     def col_sums(self):
+        if self.t_weights is not None:
+            return jnp.sum(self.t_weights, axis=1)
         flat_idx = self.indices.reshape(-1)
         flat_w = self.weights.reshape(-1)
         return jnp.zeros(self.n_spots, self.weights.dtype).at[flat_idx].add(flat_w)
@@ -118,12 +129,95 @@ class NeighborGraph(NamedTuple):
         return W.at[rows, self.indices.reshape(-1)].add(self.weights.reshape(-1))
 
 
+_UNROLL_MAX_K = 16
+
+
+def _apply_graph(indices, weights, X):
+    """Σ_k w[:, k] ⊙ X[idx[:, k]] — k row-gathers with fused accumulation
+    for small k; the (s, k, g) gather+einsum for wide graphs."""
+    k = indices.shape[1]
+    if k == 0:
+        return jnp.zeros((indices.shape[0], X.shape[1]), X.dtype)
+    if k > _UNROLL_MAX_K:
+        return jnp.einsum("skg,sk->sg", X[indices], weights)
+    out = weights[:, 0:1] * X[indices[:, 0]]
+    for j in range(1, k):
+        out = out + weights[:, j : j + 1] * X[indices[:, j]]
+    return out
+
+
+@jax.custom_vjp
+def _graph_mm_nt(X, indices, weights, t_indices, t_weights):
+    """W @ X with the transpose-graph backward (both directions are pure
+    gathers; no scatter-add anywhere in the autodiff graph). The graph
+    arrays are data, not parameters: their cotangents are symbolic zeros."""
+    return _apply_graph(indices, weights, X)
+
+
+def _graph_mm_nt_fwd(X, indices, weights, t_indices, t_weights):
+    out = _apply_graph(indices, weights, X)
+    return out, (indices.shape, weights, t_indices, t_weights)
+
+
+def _graph_mm_nt_bwd(res, ct):
+    import numpy as np
+
+    from jax import dtypes
+
+    idx_shape, weights, t_indices, t_weights = res
+    dX = _apply_graph(t_indices, t_weights, ct)
+    return (
+        dX,
+        np.zeros(idx_shape, dtype=dtypes.float0),
+        jnp.zeros_like(weights),
+        np.zeros(t_indices.shape, dtype=dtypes.float0),
+        jnp.zeros_like(t_weights),
+    )
+
+
+_graph_mm_nt.defvjp(_graph_mm_nt_fwd, _graph_mm_nt_bwd)
+
+
 def graph_matmul(W, X):
     """Compute W @ X where W is a dense matrix or a :class:`NeighborGraph`."""
     if isinstance(W, NeighborGraph):
-        gathered = X[W.indices]  # (s, k, g)
-        return jnp.einsum("skg,sk->sg", gathered, W.weights)
+        if W.t_indices is not None:
+            return _graph_mm_nt(X, W.indices, W.weights, W.t_indices, W.t_weights)
+        return _apply_graph(W.indices, W.weights, X)
     return W @ X
+
+
+def _padded_from_coo(rows, cols, vals, n_rows: int):
+    """(rows, cols, vals) COO triplets → padded (n_rows, k) arrays, entries
+    in stable row order (host-side, one vectorized scatter)."""
+    import numpy as np
+
+    order = np.argsort(rows, kind="stable")
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    counts = np.bincount(rows, minlength=n_rows)
+    k = int(counts.max()) if len(rows) else 0
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    slots = np.arange(len(rows)) - starts[rows]
+    indices = np.zeros((n_rows, k), dtype=np.int32)
+    weights = np.zeros((n_rows, k), dtype=np.float32)
+    indices[rows, slots] = cols
+    weights[rows, slots] = vals
+    return indices, weights
+
+
+def transpose_arrays(indices, weights):
+    """Padded (s, k_t) form of the transpose adjacency (host-side)."""
+    import numpy as np
+
+    indices = np.asarray(indices)
+    weights = np.asarray(weights)
+    s, k = indices.shape
+    rows = np.repeat(np.arange(s), k)
+    cols = indices.reshape(-1)
+    vals = weights.reshape(-1)
+    keep = vals != 0  # padded entries carry weight 0
+    # transpose: every (i → j, w) edge becomes (j → i, w)
+    return _padded_from_coo(cols[keep], rows[keep], vals[keep], s)
 
 
 def neighbor_graph_from_dense(W, k: Optional[int] = None) -> NeighborGraph:
@@ -144,4 +238,8 @@ def neighbor_graph_from_dense(W, k: Optional[int] = None) -> NeighborGraph:
     weights = np.zeros((s, k), dtype=np.float32)
     indices[rows[keep], slots[keep]] = cols[keep]
     weights[rows[keep], slots[keep]] = W[rows[keep], cols[keep]]
-    return NeighborGraph(jnp.asarray(indices), jnp.asarray(weights))
+    t_idx, t_w = transpose_arrays(indices, weights)
+    return NeighborGraph(
+        jnp.asarray(indices), jnp.asarray(weights),
+        jnp.asarray(t_idx), jnp.asarray(t_w),
+    )

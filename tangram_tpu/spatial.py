@@ -156,7 +156,13 @@ def neighbor_graph(
         fits = np.nonzero(nnz < k)[0]
         indices[fits, nnz[fits]] = fits
         weights[fits, nnz[fits]] = 1.0
-    return NeighborGraph(jnp.asarray(indices), jnp.asarray(weights))
+    from .ops.core import transpose_arrays
+
+    t_idx, t_w = transpose_arrays(indices, weights)
+    return NeighborGraph(
+        jnp.asarray(indices), jnp.asarray(weights),
+        jnp.asarray(t_idx), jnp.asarray(t_w),
+    )
 
 
 def sparse_weights(adata_sp, standardized: bool) -> sp.csr_matrix:

@@ -240,3 +240,36 @@ def test_spatial_neighbors_duplicate_coords_no_self_loop(rng):
     assert conn.diagonal().sum() == 0
     # every row keeps its full neighbor budget
     assert (np.asarray(conn.sum(axis=1)).ravel() >= 4).all()
+
+
+def test_graph_matmul_transpose_vjp(rng):
+    """The transpose-graph custom VJP must equal autodiff through the dense
+    product, for both value and gradient."""
+    import jax
+    import jax.numpy as jnp
+
+    from tangram_tpu.ops.core import graph_matmul, neighbor_graph_from_dense
+
+    s, g = 18, 5
+    W = (rng.random((s, s)) * (rng.random((s, s)) < 0.3)).astype(np.float32)
+    X = rng.normal(size=(s, g)).astype(np.float32)
+    graph = neighbor_graph_from_dense(W)
+    assert graph.t_indices is not None
+
+    np.testing.assert_allclose(
+        np.asarray(graph_matmul(graph, jnp.asarray(X))), W @ X,
+        rtol=1e-5, atol=1e-6,
+    )
+
+    def loss_graph(X):
+        return jnp.sum(jnp.sin(graph_matmul(graph, X)))
+
+    def loss_dense(X):
+        return jnp.sum(jnp.sin(jnp.asarray(W) @ X))
+
+    g_graph = jax.grad(loss_graph)(jnp.asarray(X))
+    g_dense = jax.grad(loss_dense)(jnp.asarray(X))
+    np.testing.assert_allclose(np.asarray(g_graph), np.asarray(g_dense),
+                               rtol=1e-5, atol=1e-6)
+    # col_sums now reads the transpose arrays
+    np.testing.assert_allclose(np.asarray(graph.col_sums()), W.sum(0), rtol=1e-5)
