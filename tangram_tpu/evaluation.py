@@ -21,6 +21,7 @@ from . import adlite
 from .deconv import one_hot_encoding  # noqa: F401  (re-exported via utils)
 
 __all__ = [
+    "projected_expression",
     "project_genes",
     "compare_spatial_geneexp",
     "cv_data_gen",
@@ -31,6 +32,46 @@ __all__ = [
 
 def _as_dense(X):
     return X.toarray() if hasattr(X, "toarray") else np.asarray(X)
+
+
+# Above this many M entries, host BLAS becomes the projection bottleneck
+# (the 100k × 50k north-star M is 5e9 entries; Mᵀ@S on a laptop-class host
+# takes minutes) — stream the matmul through the accelerator instead.
+_DEVICE_MM_THRESHOLD = 1 << 28
+
+
+def projected_expression(M, X, backend="auto", spot_chunk=16384):
+    """``Mᵀ @ X`` (spots × genes) — the projection matmul behind
+    :func:`project_genes` and the per-gene training scores.
+
+    ``backend='auto'`` keeps small products on host numpy (zero transfer
+    cost) and streams atlas-scale ones through the accelerator in spot
+    chunks, so neither M nor the output ever needs to fit in device memory
+    at once. ``'host'``/``'device'`` force a side.
+    """
+    M = np.asarray(M)
+    X = np.asarray(X, dtype=np.float32)
+    if backend == "auto":
+        import jax
+
+        use_device = (
+            jax.default_backend() != "cpu" and M.size >= _DEVICE_MM_THRESHOLD
+        )
+    else:
+        use_device = backend == "device"
+    if not use_device:
+        return M.T @ X
+
+    import jax
+    import jax.numpy as jnp
+
+    X_dev = jnp.asarray(X)
+    matmul = jax.jit(lambda m, x: m.T @ x)
+    out = np.empty((M.shape[1], X.shape[1]), np.float32)
+    for start in range(0, M.shape[1], spot_chunk):
+        stop = min(start + spot_chunk, M.shape[1])
+        out[start:stop] = np.asarray(matmul(jnp.asarray(M[:, start:stop]), X_dev))
+    return out
 
 
 def _column_cosine(A, B):
@@ -64,7 +105,7 @@ def project_genes(adata_map, adata_sc, cluster_label=None, scale=True):
         raise ValueError("The two AnnDatas need to have same `obs` index.")
 
     projected = adlite.AnnData(
-        X=np.asarray(adata_map.X).T @ _as_dense(adata_sc.X),
+        X=projected_expression(adata_map.X, _as_dense(adata_sc.X)),
         obs=adata_map.var.copy(),
         var=adata_sc.var.copy(),
         uns=dict(adata_sc.uns),

@@ -262,3 +262,15 @@ def test_eval_metric_golden():
     df_all_genes = pd.read_csv(os.path.join(DATA_DIR, "test_df.csv"), index_col=0)
     auc_score = tg.eval_metric(df_all_genes)[0]["auc_score"]
     assert auc_score == pytest.approx(0.750597829464878)
+
+
+def test_projected_expression_device_matches_host(rng):
+    """The chunked device projection equals host numpy (chunk edges incl.)."""
+    from tangram_tpu.evaluation import projected_expression
+
+    M = rng.random((37, 53)).astype(np.float32)
+    X = rng.random((37, 11)).astype(np.float32)
+    host = projected_expression(M, X, backend="host")
+    device = projected_expression(M, X, backend="device", spot_chunk=16)
+    np.testing.assert_allclose(device, host, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(host, M.T @ X, rtol=1e-6)
