@@ -349,3 +349,56 @@ def test_fused_sharded_constrained_resume(rng):
     )
     np.testing.assert_allclose(np.asarray(M2), np.asarray(Mf), atol=1e-6)
     np.testing.assert_allclose(np.asarray(F2), np.asarray(Ff), atol=1e-6)
+
+
+def test_gspmd_sharded_with_val(rng):
+    """The GSPMD fallback (Mapper mesh path when val_each is set) matches
+    single-device training including the validation history."""
+    import pandas as pd
+
+    import tangram_tpu as tg
+    from tangram_tpu.models.mapper import Mapper
+
+    c, s, g = 32, 24, 10
+    S = (rng.poisson(2.0, (c, g)) + 0.5).astype(np.float32)
+    G = (rng.poisson(3.0, (s, g)) + 0.5).astype(np.float32)
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
+                axis_names=("cell", "spot"))
+
+    m_mesh = Mapper(S=S, G=G, random_state=3, mesh=mesh)
+    out_mesh, hist_mesh = m_mesh.train(num_epochs=20, learning_rate=0.1,
+                                       print_each=None, val_each=5)
+    m_single = Mapper(S=S, G=G, random_state=3)
+    out_single, hist_single = m_single.train(num_epochs=20, learning_rate=0.1,
+                                             print_each=None, val_each=5)
+    np.testing.assert_allclose(out_mesh, out_single, atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(hist_mesh["val_gene_sim"]),
+        np.asarray(hist_single["val_gene_sim"]), atol=5e-4,
+    )
+    assert len(hist_mesh["val_gene_sim"]) == 4
+
+
+def test_gspmd_constrained(rng):
+    """fit_mapping_sharded with (M, F) params (the GSPMD constrained path)
+    matches the unsharded optax trajectory."""
+    from tangram_tpu.parallel import fit_mapping_sharded
+
+    c, s = 32, 24
+    M0, data = make_problem(rng, c=c, s=s)
+    data = data._replace(target_count=jnp.float32(200.0))
+    F0 = jnp.asarray(rng.normal(size=c), jnp.float32)
+    lw = LossWeights(lambda_g1=1.0, lambda_d=1.0, lambda_count=1.0,
+                     lambda_f_reg=1.0)
+    p_ref, h_ref = fit_mapping((M0, F0), data, lw, 15, 0.1, constrained=True,
+                               impl="xla")
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
+                axis_names=("cell", "spot"))
+    p_sh, h_sh = fit_mapping_sharded((M0, F0), data, lw, 15, 0.1, mesh=mesh,
+                                     constrained=True)
+    np.testing.assert_allclose(
+        np.asarray(h_sh["total_loss"]), np.asarray(h_ref["total_loss"]),
+        rtol=2e-4, atol=2e-5,
+    )
+    np.testing.assert_allclose(np.asarray(p_sh[0]), np.asarray(p_ref[0]), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(p_sh[1]), np.asarray(p_ref[1]), atol=2e-3)
