@@ -202,6 +202,16 @@ def main():
                 "50000x25000"
             ]
 
+            # --- opt-in bf16 parameter storage: 2x single-chip capacity and
+            # less HBM traffic per step; converged scores match f32 to ~1e-3
+            d = make_problem(rng, n_cells, n_spots)
+            result["tutorial_bf16_params_ms_per_step"] = round(
+                step_time(d, lw, n_cells, n_spots, steps=50, impl="pallas",
+                          param_dtype="bfloat16", **kwargs), 2
+            )
+            del d
+            gc.collect()
+
             # --- north-star projection: measure the EXACT per-chip shard of
             # the v5e-8 1-D cell sharding (100k/8 = 12.5k cells × 50k spots),
             # then add the psum model for the (spots × genes) collectives.

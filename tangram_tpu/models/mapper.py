@@ -114,6 +114,7 @@ _FIT_STATIC_ARGNAMES = (
     "fused",
     "moment_dtype",
     "compute_dtype",
+    "param_dtype",
 )
 
 
@@ -132,6 +133,7 @@ def _fit_mapping_impl(
     fused: bool = True,
     moment_dtype: str = "float32",
     compute_dtype: str = "float32",
+    param_dtype: str = "float32",
     val_each=1,
     step_offset=0,
 ):
@@ -184,6 +186,7 @@ def _fit_mapping_impl(
         from ..ops.pallas_core import _rowstats
 
         M0, F0 = params
+        M0 = M0.astype(jnp.dtype(param_dtype))
         if opt_state is None:
             count = jnp.zeros((), jnp.int32)
             mu = jnp.zeros(M0.shape, jnp.dtype(moment_dtype))
@@ -228,6 +231,7 @@ def _fit_mapping_impl(
             initial_stats,
         )
 
+        params = params.astype(jnp.dtype(param_dtype))
         if opt_state is None:
             count, mu, nu = init_fused_opt_state(
                 params, moment_dtype=jnp.dtype(moment_dtype)
@@ -302,7 +306,8 @@ def fit_mapping(*args, donate: bool = False, **kwargs):
 
 
 def _final_softmax(M):
-    return jax.nn.softmax(M, axis=1)
+    # params may be stored bf16 (param_dtype option); normalize in f32
+    return jax.nn.softmax(M.astype(jnp.float32), axis=1)
 
 
 def _print_epoch(terms_at_t, names, t=None):

@@ -73,7 +73,7 @@ def fused_supported(lw: LossWeights, constrained: bool) -> bool:
 
 def _rowstats_norms_kernel(M_ref, m_ref, l_ref, u_ref, s1_ref, s2_ref, *, s_actual: int):
     j = pl.program_id(1)
-    tile = M_ref[...]
+    tile = M_ref[...].astype(jnp.float32)
     valid = _spot_mask(s_actual, j, tile.shape)
     tile_m = jnp.where(valid, tile, NEG_BIG)
     tile_z = jnp.where(valid, tile, 0.0)
@@ -118,14 +118,15 @@ def _rowstats_norms(M):
 # ---------------------------------------------------------------------------
 
 
-def _pick_adam_tc(ts: int, k: int, moment_bytes: int, compute_bytes: int) -> int:
+def _pick_adam_tc(ts: int, k: int, moment_bytes: int, compute_bytes: int,
+                  param_bytes: int = 4) -> int:
     """Largest cell-tile that keeps the Adam kernel inside scoped VMEM.
 
     Empirical model calibrated on v5e compile reports: scoped usage ≈
     1.5 × (big block bytes) + 8.4 MB, where big blocks are M/mu/nu in+out
     tiles plus the A and dY blocks. Budget the big blocks to ≤ 4.8 MB.
     """
-    per_elem = 2 * (4 + 2 * moment_bytes)  # M in/out f32 + mu/nu in/out
+    per_elem = 2 * (param_bytes + 2 * moment_bytes)  # M + mu/nu, in and out
     for tc in (512, 384, 256, 128):
         big = tc * ts * per_elem + (tc + ts) * k * compute_bytes
         if big <= 4_800_000:
@@ -150,7 +151,7 @@ def _dm_adam_kernel(
     P = jnp.where(valid, P, 0.0)
     dP = jnp.where(valid, dP, 0.0)
 
-    M_tile = M_ref[...]
+    M_tile = M_ref[...].astype(jnp.float32)
     g = P * (dP - r_ref[...])
     if lam_l1 != 0.0:
         g = g + lam_l1 * jnp.sign(M_tile)
@@ -168,15 +169,19 @@ def _dm_adam_kernel(
     m_hat = mu_new / bc1
     v_hat = nu_new / bc2
     M_new = M_tile - lr * m_hat / (jnp.sqrt(v_hat) + ADAM_EPS)
-    Mo_ref[...] = M_new
+    M_stored = M_new.astype(Mo_ref.dtype)
+    Mo_ref[...] = M_stored
     muo_ref[...] = mu_new.astype(muo_ref.dtype)
     nuo_ref[...] = nu_new.astype(nuo_ref.dtype)
 
     # Fused rowstats of M_new for the NEXT step (saves a full pass over M):
     # same online max/sumexp accumulation as the standalone rowstats kernel,
-    # over the spot-tile (inner) grid dimension.
-    spot_valid = _spot_mask(s_actual, j, M_new.shape)
-    tile_m = jnp.where(spot_valid, M_new, NEG_BIG)
+    # over the spot-tile (inner) grid dimension. Stats come from the STORED
+    # value so that with bf16 parameter storage the next step's softmax
+    # normalization matches what it will actually read back.
+    M_next = M_stored.astype(jnp.float32)
+    spot_valid = _spot_mask(s_actual, j, M_next.shape)
+    tile_m = jnp.where(spot_valid, M_next, NEG_BIG)
     tile_max = jnp.max(tile_m, axis=1, keepdims=True)
 
     @pl.when(j == 0)
@@ -196,7 +201,7 @@ def _dm_adam_kernel(
     uo_ref[...] = uo_ref[...] * scale + jnp.sum(e * tile_m, axis=1, keepdims=True)
     mo_ref[...] = m_run
     if with_norms:
-        tile_z = jnp.where(spot_valid, M_new, 0.0)
+        tile_z = jnp.where(spot_valid, M_next, 0.0)
         s1o_ref[...] += jnp.sum(jnp.abs(tile_z), axis=1, keepdims=True)
         s2o_ref[...] += jnp.sum(tile_z * tile_z, axis=1, keepdims=True)
 
@@ -212,7 +217,8 @@ def _dm_adam(M, A, w, m, l, dY, dq, dh, r, mu, nu, scalars, lam_l1, lam_l2,
     c, s = M.shape
     k = A.shape[1]
     ts = TS
-    tc = _pick_adam_tc(ts, k, mu.dtype.itemsize, A.dtype.itemsize)
+    tc = _pick_adam_tc(ts, k, mu.dtype.itemsize, A.dtype.itemsize,
+                       M.dtype.itemsize)
     grid = (pl.cdiv(c, tc), pl.cdiv(s, ts))
 
     big = lambda i, j: (i, j)  # noqa: E731
@@ -238,7 +244,7 @@ def _dm_adam(M, A, w, m, l, dY, dq, dh, r, mu, nu, scalars, lam_l1, lam_l2,
         pl.BlockSpec((tc, ts), big, memory_space=pltpu.VMEM),
     ] + [cell_stat] * n_stats
     out_shape = [
-        jax.ShapeDtypeStruct((c, s), jnp.float32),
+        jax.ShapeDtypeStruct((c, s), M.dtype),
         jax.ShapeDtypeStruct((c, s), mu.dtype),
         jax.ShapeDtypeStruct((c, s), nu.dtype),
     ] + [jax.ShapeDtypeStruct((c, 1), jnp.float32)] * n_stats

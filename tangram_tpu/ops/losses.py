@@ -189,7 +189,9 @@ def unconstrained_inputs(M, data: MapperData, lw: LossWeights):
         w = data.d_source
     else:
         n_cells = M.shape[0]
-        w = jnp.full((n_cells,), 1.0 / n_cells, dtype=M.dtype)
+        # f32 regardless of the parameter storage dtype: the marginal weight
+        # feeds f32 accumulations (and bf16 stat blocks trip Mosaic layouts)
+        w = jnp.full((n_cells,), 1.0 / n_cells, dtype=jnp.float32)
     return A, w
 
 

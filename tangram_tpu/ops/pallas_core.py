@@ -73,7 +73,7 @@ def _cell_mask(c_actual: int, i, shape):
 def _rowstats_kernel(M_ref, m_ref, l_ref, u_ref, *, s_actual: int):
     j = pl.program_id(1)
 
-    tile = M_ref[...]
+    tile = M_ref[...].astype(jnp.float32)  # params may be stored bf16
     valid = _spot_mask(s_actual, j, tile.shape)
     tile = jnp.where(valid, tile, NEG_BIG)
 
@@ -122,7 +122,7 @@ def _project_kernel(
     j = pl.program_id(0)  # spot tile
     i = pl.program_id(1)  # cell tile (inner, accumulated)
 
-    tile = M_ref[...]  # (TC, TS)
+    tile = M_ref[...].astype(jnp.float32)  # (TC, TS); params may be bf16
     P = jnp.exp(tile - m_ref[...]) / l_ref[...]
     # Mask every contraction input's out-of-bounds region: OOB block loads
     # are undefined (NaN in interpret mode) and 0·NaN would poison the MXU
@@ -194,6 +194,7 @@ def _dp_tile(M_tile, m, l, A_tile, dY_tile, w_tile, dq_tile, dh_tile,
     q = wP and h = Σ P log P respectively. All contraction inputs are masked
     in their OOB regions (undefined loads would produce 0·NaN = NaN).
     """
+    M_tile = M_tile.astype(jnp.float32)  # params may be stored bf16
     e = jnp.exp(M_tile - m)
     P = e / l
     logP = M_tile - m - jnp.log(l)
@@ -251,7 +252,7 @@ def _dm_kernel(
     cmask = _cell_mask(c_actual, i, P.shape)
     P = jnp.where(valid & cmask, P, 0.0)
     dP = jnp.where(valid & cmask, dP, 0.0)
-    dM_ref[...] = P * (dP - r_ref[...])
+    dM_ref[...] = (P * (dP - r_ref[...])).astype(dM_ref.dtype)
 
     @pl.when(j == 0)
     def _init():
@@ -313,7 +314,7 @@ def _backward(M, A, w, m, l, dY, dq, dh):
             pl.BlockSpec((TC, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((c, s), jnp.float32),
+            jax.ShapeDtypeStruct((c, s), M.dtype),
             jax.ShapeDtypeStruct((c, k), jnp.float32),
             jax.ShapeDtypeStruct((c, 1), jnp.float32),
         ],

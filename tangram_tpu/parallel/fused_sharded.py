@@ -403,7 +403,7 @@ def _fit_1d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
         w_full = _pad_axis(data.d_source, 0, c_pad)
     else:
         w_full = _pad_axis(
-            jnp.full((n_cells,), 1.0 / n_cells, dtype=M0.dtype), 0, c_pad
+            jnp.full((n_cells,), 1.0 / n_cells, dtype=jnp.float32), 0, c_pad
         )
     M0 = _pad_axis(M0, 0, c_pad)
     F0 = None
@@ -547,7 +547,7 @@ def _fit_2d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
         w_full = _pad_axis(data.d_source, 0, c_pad)
     else:
         w_full = _pad_axis(
-            jnp.full((n_cells,), 1.0 / n_cells, dtype=M0.dtype), 0, c_pad
+            jnp.full((n_cells,), 1.0 / n_cells, dtype=jnp.float32), 0, c_pad
         )
     F0 = None
     if constr:

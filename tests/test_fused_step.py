@@ -181,3 +181,29 @@ def test_fused_with_spatial_regularizers(rng):
         rtol=5e-4, atol=5e-5,
     )
     np.testing.assert_allclose(np.asarray(p_fused), np.asarray(p_xla), atol=3e-3)
+
+
+def test_bf16_params_track_f32(rng):
+    """bf16 parameter storage (param_dtype option: 2x capacity, ~30% less
+    step bandwidth) must track the f32 trajectory within storage-rounding
+    tolerance; updates still run in f32 in-kernel."""
+    import jax
+
+    lw = LossWeights(lambda_g1=1.0, lambda_d=1.0)
+    M0, data = make_problem(rng)
+    p32, h32 = fit_mapping(M0, data, lw, 30, 0.1, impl="pallas", fused=True)
+    p16, h16 = fit_mapping(
+        M0, data, lw, 30, 0.1, impl="pallas", fused=True,
+        param_dtype="bfloat16", moment_dtype="bfloat16",
+        compute_dtype="bfloat16",
+    )
+    assert p16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(h16["main_loss"]), np.asarray(h32["main_loss"]),
+        rtol=3e-2, atol=3e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.nn.softmax(p16.astype(jnp.float32), axis=1)),
+        np.asarray(jax.nn.softmax(p32, axis=1)),
+        atol=5e-2,
+    )
