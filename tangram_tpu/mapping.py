@@ -282,6 +282,9 @@ def map_cells_to_space(
     init_method="auto",
     graph_format="dense",
     mesh=None,
+    moment_dtype="float32",
+    compute_dtype="float32",
+    param_dtype="float32",
 ):
     """Learn the probabilistic cell→spot mapping (ref mapping_utils.py:141).
 
@@ -335,6 +338,9 @@ def map_cells_to_space(
             impl=impl,
             init_method=init_method,
             mesh=mesh,
+            moment_dtype=moment_dtype,
+            compute_dtype=compute_dtype,
+            param_dtype=param_dtype,
         )
         mapping_matrix, F_out, training_history = mapper.train(
             learning_rate=learning_rate, num_epochs=num_epochs, print_each=print_each
@@ -382,6 +388,9 @@ def map_cells_to_space(
             impl=impl,
             init_method=init_method,
             mesh=mesh,
+            moment_dtype=moment_dtype,
+            compute_dtype=compute_dtype,
+            param_dtype=param_dtype,
         )
         mapping_matrix, training_history = mapper.train(
             learning_rate=learning_rate, num_epochs=num_epochs, print_each=print_each

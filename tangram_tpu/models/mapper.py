@@ -367,11 +367,19 @@ class Mapper:
         impl: str = "auto",
         emulate_reference_val_quirk: bool = True,
         mesh=None,
+        moment_dtype: str = "float32",
+        compute_dtype: str = "float32",
+        param_dtype: str = "float32",
     ):
         del device  # JAX manages placement; kept for signature compatibility
         self.random_state = random_state
         self.impl = impl
         self.mesh = mesh
+        # performance knobs for the fused path: Adam-moment storage, matmul
+        # input precision, and parameter storage (see ops/fused_step.py)
+        self.moment_dtype = moment_dtype
+        self.compute_dtype = compute_dtype
+        self.param_dtype = param_dtype
 
         S = np.asarray(S, dtype=np.float32)
         G = np.asarray(G, dtype=np.float32)
@@ -522,8 +530,11 @@ class Mapper:
             )
             if use_fused_mesh:
                 params, history = fit_mapping_fused_sharded(
-                    self.M, self.data, self.lw, num_epochs,
+                    self.M.astype(jnp.dtype(self.param_dtype)),
+                    self.data, self.lw, num_epochs,
                     float(learning_rate), mesh=self.mesh,
+                    moment_dtype=jnp.dtype(self.moment_dtype),
+                    compute_dtype=jnp.dtype(self.compute_dtype),
                 )
             else:
                 params, history = fit_mapping_sharded(
@@ -556,6 +567,9 @@ class Mapper:
             val_data=val_data if with_val else None,
             val_each=int(val_each) if with_val else 1,
             impl=self.impl,
+            moment_dtype=self.moment_dtype,
+            compute_dtype=self.compute_dtype,
+            param_dtype=self.param_dtype,
         )
 
         if print_each is None or num_epochs == 0:
@@ -623,11 +637,17 @@ class MapperConstrained:
         init_method: str = "auto",
         impl: str = "auto",
         mesh=None,
+        moment_dtype: str = "float32",
+        compute_dtype: str = "float32",
+        param_dtype: str = "float32",
     ):
         del device
         self.random_state = random_state
         self.impl = impl
         self.mesh = mesh
+        self.moment_dtype = moment_dtype
+        self.compute_dtype = compute_dtype
+        self.param_dtype = param_dtype
 
         S = np.asarray(S, dtype=np.float32)
         G = np.asarray(G, dtype=np.float32)
@@ -706,8 +726,11 @@ class MapperConstrained:
 
             if "cell" in self.mesh.axis_names:
                 params, history = fit_mapping_fused_sharded(
-                    (self.M, self.F), self.data, self.lw, num_epochs,
+                    (self.M.astype(jnp.dtype(self.param_dtype)), self.F),
+                    self.data, self.lw, num_epochs,
                     float(learning_rate), mesh=self.mesh,
+                    moment_dtype=jnp.dtype(self.moment_dtype),
+                    compute_dtype=jnp.dtype(self.compute_dtype),
                 )
             else:
                 params, history = fit_mapping_sharded(
@@ -723,6 +746,9 @@ class MapperConstrained:
                 learning_rate=float(learning_rate),
                 constrained=True,
                 impl=self.impl,
+                moment_dtype=self.moment_dtype,
+                compute_dtype=self.compute_dtype,
+                param_dtype=self.param_dtype,
             )
         self.M, self.F = params
         history = jax.device_get(history)

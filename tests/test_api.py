@@ -274,3 +274,22 @@ def test_projected_expression_device_matches_host(rng):
     device = projected_expression(M, X, backend="device", spot_chunk=16)
     np.testing.assert_allclose(device, host, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(host, M.T @ X, rtol=1e-6)
+
+
+def test_precision_knobs_through_public_api(adatas):
+    """moment/compute/param dtype options reach the training path from
+    map_cells_to_space and produce a score close to the f32 default."""
+    ad_map32 = tg.map_cells_to_space(
+        adatas[0], adatas[1], num_epochs=40, random_state=42, verbose=False
+    )
+    ad_map16 = tg.map_cells_to_space(
+        adatas[0], adatas[1], num_epochs=40, random_state=42, verbose=False,
+        impl="pallas", moment_dtype="bfloat16", compute_dtype="bfloat16",
+        param_dtype="bfloat16",
+    )
+    s32 = float(list(ad_map32.uns["training_history"]["main_loss"])[-1])
+    s16 = float(list(ad_map16.uns["training_history"]["main_loss"])[-1])
+    assert s16 == pytest.approx(s32, abs=3e-2)
+    np.testing.assert_allclose(
+        np.asarray(ad_map16.X).sum(axis=1), 1.0, rtol=1e-2
+    )
