@@ -210,6 +210,7 @@ def cross_val(
     # --- TPU-native extensions ---
     batched="auto",
     fold_batch_size=64,
+    mesh=None,
 ):
     """Gene-holdout cross-validation (ref utils.py:503-668).
 
@@ -217,7 +218,9 @@ def cross_val(
     one vmapped, jit-compiled batch over padded gene masks instead of a
     fold-per-retraining Python loop — identical math per fold, one compile,
     one device round-trip. ``batched=False`` selects the reference-style
-    sequential loop.
+    sequential loop. ``mesh`` shards the fold axis over devices — Tangram's
+    natural data parallelism (each chip trains its own folds; no collectives
+    beyond the initial broadcast).
     """
     kwargs = dict(
         cluster_label=cluster_label,
@@ -242,7 +245,8 @@ def cross_val(
         batched = mode in ("clusters", "cells", "constrained")
     if batched:
         return _cross_val_batched(
-            adata_sc, adata_sp, fold_batch_size=fold_batch_size, **kwargs
+            adata_sc, adata_sp, fold_batch_size=fold_batch_size, mesh=mesh,
+            **kwargs
         )
     return _cross_val_loop(adata_sc, adata_sp, device=device, **kwargs)
 
@@ -382,11 +386,13 @@ def _cross_val_batched(
     random_state,
     verbose,
     fold_batch_size,
+    mesh=None,
     lambda_count=1,
     lambda_f_reg=1,
     target_count=None,
 ):
-    """All CV folds as one vmapped training batch (TPU-native path)."""
+    """All CV folds as one vmapped training batch (TPU-native path),
+    optionally sharded over a mesh's leading axis (fold data parallelism)."""
     import jax
     import jax.numpy as jnp
 
@@ -503,9 +509,17 @@ def _cross_val_batched(
     train_scores = np.zeros(n_folds)
     pred_cols = {} if return_gene_pred else None
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        fold_sharding = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+
     for start in range(0, n_folds, int(fold_batch_size)):
         stop = min(start + int(fold_batch_size), n_folds)
-        scores, tr, G_pred = run_chunk(jnp.asarray(masks[start:stop]))
+        chunk = jnp.asarray(masks[start:stop])
+        if mesh is not None and (stop - start) % mesh.devices.size == 0:
+            chunk = jax.device_put(chunk, fold_sharding)
+        scores, tr, G_pred = run_chunk(chunk)
         all_scores[start:stop] = scores
         train_scores[start:stop] = tr
         if return_gene_pred:

@@ -255,6 +255,7 @@ def _run_population(
     val_genes_idx,
     population_batch_size: int = 4,
     verbose: bool = False,
+    mesh=None,
 ):
     import jax
     import jax.numpy as jnp
@@ -336,6 +337,13 @@ def _run_population(
                 in_axes=(0, 0, None),
             )
         )
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            config_sharding = NamedSharding(
+                mesh, PartitionSpec(mesh.axis_names[0])
+            )
+
         for start in range(0, len(idxs), population_batch_size):
             chunk = idxs[start : start + population_batch_size]
             lam_mat = jnp.asarray(
@@ -346,6 +354,11 @@ def _run_population(
                 [float(configs[i].get("learning_rate", 0.1)) for i in chunk],
                 dtype=jnp.float32,
             )
+            if mesh is not None and len(chunk) % mesh.devices.size == 0:
+                # trial data parallelism: each device trains its own configs
+                # (the TPU-native replacement for Ray's process-per-trial)
+                lam_mat = jax.device_put(lam_mat, config_sharding)
+                lrs = jax.device_put(lrs, config_sharding)
             Ps, val_scores = fit_batched(lam_mat, lrs, M0s)
             Ps = np.asarray(Ps)  # (chunk, repeats, c, s)
             val_scores = np.asarray(val_scores)
@@ -415,6 +428,7 @@ def mapping_hyperparameter_tuning(
     random_state: Optional[int] = 0,
     population_batch_size: int = 4,
     verbose: bool = False,
+    mesh=None,
 ) -> TunerResult:
     """Tune mapping hyperparameters (reference ``:141-272``).
 
@@ -522,6 +536,7 @@ def mapping_hyperparameter_tuning(
         val_genes_idx=val_genes_idx,
         population_batch_size=population_batch_size,
         verbose=verbose,
+        mesh=mesh,
     )
     for k in domains:
         df[f"config/{k}"] = [cfg[k] for cfg in configs]

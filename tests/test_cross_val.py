@@ -80,3 +80,22 @@ def test_cv_data_gen_modes(cv_adatas):
     assert len(folds_10) == 10
     with pytest.raises(ValueError):
         list(tg.cv_data_gen(ad_sc, ad_sp, "bogus"))
+
+
+def test_cross_val_fold_mesh(cv_adatas):
+    """Fold-axis data parallelism: cross_val(mesh=...) must reproduce the
+    single-device batched result exactly (same math, folds spread over
+    devices)."""
+    import jax
+    from jax.sharding import Mesh
+
+    ad_sc, ad_sp = cv_adatas
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(-1), axis_names=("fold",))
+    base = tg.cross_val(ad_sc, ad_sp, mode="cells", cv_mode="10fold",
+                        num_epochs=30, random_state=7, verbose=False,
+                        fold_batch_size=8)
+    sharded = tg.cross_val(ad_sc, ad_sp, mode="cells", cv_mode="10fold",
+                           num_epochs=30, random_state=7, verbose=False,
+                           fold_batch_size=8, mesh=mesh)
+    assert sharded["avg_test_score"] == pytest.approx(base["avg_test_score"], abs=1e-5)
+    assert sharded["avg_train_score"] == pytest.approx(base["avg_train_score"], abs=1e-5)

@@ -197,3 +197,33 @@ def test_stability_metrics_comparable_with_reference_runs(rng):
         np.testing.assert_allclose(
             metric(our_cube), metric(ref_cube), rtol=1e-3, atol=1e-3
         )
+
+
+def test_tuner_trial_mesh(tuner_adatas):
+    """Trial data parallelism: the tuner sharded over a mesh reproduces the
+    single-device population search."""
+    import jax
+    from jax.sharding import Mesh
+
+    ad_sc, ad_sp = tuner_adatas
+    space = {"lambda_g1": 1.0, "lambda_d": tuning.uniform(0.1, 1.0),
+             "num_epochs": 25}
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(-1), axis_names=("trial",))
+    base = tg.mapping_hyperparameter_tuning(
+        ad_sc, ad_sp, metric=["gene_expr_correctness"], config=space,
+        tuner_num_samples=4, cluster_label="subclass_label",
+        density_prior="uniform", random_state=11, population_batch_size=4,
+    )
+    sharded = tg.mapping_hyperparameter_tuning(
+        ad_sc, ad_sp, metric=["gene_expr_correctness"], config=space,
+        tuner_num_samples=4, cluster_label="subclass_label",
+        density_prior="uniform", random_state=11, population_batch_size=4,
+        mesh=mesh,
+    )
+    # GSPMD reduction reordering wiggles Adam trajectories by ~1e-4/epoch;
+    # trial scores must agree to training-noise level
+    np.testing.assert_allclose(
+        base.get_results().get_dataframe()["gene_expr_correctness"].to_numpy(),
+        sharded.get_results().get_dataframe()["gene_expr_correctness"].to_numpy(),
+        atol=2e-3,
+    )
