@@ -402,3 +402,35 @@ def test_gspmd_constrained(rng):
     )
     np.testing.assert_allclose(np.asarray(p_sh[0]), np.asarray(p_ref[0]), atol=2e-3)
     np.testing.assert_allclose(np.asarray(p_sh[1]), np.asarray(p_ref[1]), atol=2e-3)
+
+
+def test_fused_sharded_with_neighbor_graph(rng):
+    """Structured NeighborGraph regularizers (transpose-VJP gathers) ride the
+    1-D fused mesh path: graph leaves replicate through the data pytree."""
+    import pandas as pd
+
+    import tangram_tpu as tg
+    from tangram_tpu.ops.losses import spatial_local_indicators
+    from tangram_tpu.spatial import neighbor_graph, spatial_neighbors
+
+    c, s, g = 32, 40, 8
+    M0, data = make_problem(rng, c=c, s=s, g=g)
+    ad_sp = tg.AnnData(X=np.ones((s, 1), np.float32))
+    ad_sp.obsm["spatial"] = rng.random((s, 2))
+    spatial_neighbors(ad_sp, n_neighs=4)
+    voxel_graph = neighbor_graph(ad_sp, standardized=True, self_inclusion=True)
+    autocorr_graph = neighbor_graph(ad_sp, standardized=True, self_inclusion=False)
+    lw = LossWeights(lambda_g1=1.0, lambda_d=1.0, lambda_neighborhood_g1=0.4,
+                     lambda_geary=0.3)
+    _, _, geary_ref = spatial_local_indicators(data.G, autocorr_graph, lw)
+    data = data._replace(
+        voxel_weights=voxel_graph, spatial_weights=autocorr_graph,
+        geary_ref=jnp.asarray(geary_ref),
+    )
+    p_ref, h_ref = fit_mapping(M0, data, lw, 15, 0.1, impl="pallas", fused=True)
+    p_sh, h_sh = fit_mapping_fused_sharded(M0, data, lw, 15, 0.1, mesh=cell_mesh(8))
+    np.testing.assert_allclose(
+        np.asarray(h_sh["total_loss"]), np.asarray(h_ref["total_loss"]),
+        rtol=2e-4, atol=2e-5,
+    )
+    np.testing.assert_allclose(np.asarray(p_sh), np.asarray(p_ref), atol=5e-3)
