@@ -114,3 +114,45 @@ def test_constrained_loss_gradient_through_pallas(rng):
     gM_p, gF_p = jax.grad(lambda p: total(p, "pallas"))(params)
     np.testing.assert_allclose(np.asarray(gM_p), np.asarray(gM_x), rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(gF_p), np.asarray(gF_x), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_mapper_core_random_shapes(seed):
+    """Shape fuzz: ragged tiles on every axis, forward and gradients must
+    match the XLA reference implementation."""
+    import jax
+
+    from tangram_tpu.ops.core import _mapper_core_xla
+    from tangram_tpu.ops.pallas_core import mapper_core_pallas
+
+    rng = np.random.default_rng(100 + seed)
+    c = int(rng.integers(3, 1200))
+    s = int(rng.integers(3, 900))
+    k = int(rng.integers(1, 300))
+    M = jnp.asarray(rng.normal(size=(c, s)), jnp.float32)
+    A = jnp.asarray(rng.normal(size=(c, k)), jnp.float32)
+    w = jnp.asarray(rng.random(c), jnp.float32)
+
+    Yx, qx, hx = _mapper_core_xla(M, A, w)
+    Yp, qp, hp = mapper_core_pallas(M, A, w)
+    np.testing.assert_allclose(np.asarray(Yp), np.asarray(Yx), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(qp), np.asarray(qx), rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(hp), np.asarray(hx), rtol=2e-4, atol=2e-4)
+
+    ctY = jnp.asarray(rng.normal(size=(s, k)), jnp.float32)
+    ctq = jnp.asarray(rng.normal(size=(s,)), jnp.float32)
+    cth = jnp.asarray(rng.normal(size=(c,)), jnp.float32)
+
+    def loss(core):
+        def f(M, A, w):
+            Y, q, h = core(M, A, w)
+            return jnp.sum(Y * ctY) + jnp.sum(q * ctq) + jnp.sum(h * cth)
+        return f
+
+    gx = jax.grad(loss(_mapper_core_xla), argnums=(0, 1, 2))(M, A, w)
+    gp = jax.grad(loss(mapper_core_pallas), argnums=(0, 1, 2))(M, A, w)
+    for a, b, name in zip(gp, gx, "MAw"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+            err_msg=f"grad wrt {name} (c={c}, s={s}, k={k})",
+        )
