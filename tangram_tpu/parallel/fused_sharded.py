@@ -9,16 +9,18 @@ Two mesh layouts:
 
 * **1-D ("cell",)** — every device holds full rows of M, so the softmax is
   local; two psums per step move the (spots × genes) projection ``Y`` and the
-  spot marginal ``q`` over ICI. All loss terms are supported (spatial
-  regularizers, clusters mode, constrained mode); only the L1/L2 logit
-  penalties are excluded (their norms would need an extra collective).
+  spot marginal ``q`` over ICI. Every loss configuration is supported:
+  spatial regularizers, clusters mode, constrained ``(M, F)``, and L1/L2
+  logit penalties (norm sums psum'd from the kernel-carried rowstats).
 * **2-D ("cell", "spot")** — M is block-sharded over both axes, for problems
   whose *rows* no longer fit a chip. The per-cell softmax stats (max /
   sum-exp / Σe·M) are merged across spot shards with one pmax + two psums of
-  (cells/n, 1) vectors; ``Y``/``q`` psum over the cell axis; the per-gene
-  cosine reductions psum over the spot axis; the rbar reduction of the
-  softmax VJP psums over the spot axis. Supported terms: the core loss
-  (λ_g1/λ_g2 expression, density KL, entropy) — the north-star configuration.
+  (cells/n, 1) vectors; ``Y``/``q`` psum over the cell axis and all-gather
+  over the spot axis (outside the epilogue vjp, cotangents sliced back per
+  shard), so the unchanged single-device epilogue — spatial regularizers,
+  ct islands, constrained terms — runs replicated; the rbar reduction of
+  the softmax VJP psums over the spot axis. Only L1/L2 penalties are
+  excluded here (spot-pad logits of −1e30 would poison the norm sums).
 
 Cell and spot counts need not divide the mesh: inputs are zero-padded (M spot
 padding uses −1e30 logits so padded spots carry exactly zero probability) and
