@@ -738,11 +738,7 @@ class MapperConstrained:
                     float(learning_rate), mesh=self.mesh, constrained=True,
                 )
         else:
-            params, history = fit_mapping(
-                (self.M, self.F),
-                self.data,
-                self.lw,
-                num_epochs=num_epochs,
+            common = dict(
                 learning_rate=float(learning_rate),
                 constrained=True,
                 impl=self.impl,
@@ -750,10 +746,39 @@ class MapperConstrained:
                 compute_dtype=self.compute_dtype,
                 param_dtype=self.param_dtype,
             )
+            if print_each is None or num_epochs == 0:
+                params, history = fit_mapping(
+                    (self.M, self.F), self.data, self.lw,
+                    num_epochs=num_epochs, **common,
+                )
+                history = jax.device_get(history)
+            else:
+                # stream score lines live, like the reference's per-epoch
+                # loop: run the compiled scan in print_each-sized chunks with
+                # the Adam state carried across (bit-exact with one scan)
+                chunks = []
+                params, opt_state, epoch = (self.M, self.F), None, 0
+                while epoch < num_epochs:
+                    chunk = min(int(print_each), num_epochs - epoch)
+                    params, opt_state, h = fit_mapping(
+                        params, self.data, self.lw, num_epochs=chunk,
+                        opt_state=opt_state, return_opt_state=True,
+                        step_offset=epoch, **common,
+                    )
+                    h = jax.device_get(h)
+                    _print_epoch(
+                        {k: v[0] for k, v in h.items()}, CONSTRAINED_PRINT_NAMES
+                    )
+                    chunks.append(h)
+                    epoch += chunk
+                history = {
+                    k: np.concatenate([np.asarray(h[k]) for h in chunks])
+                    for k in chunks[0]
+                }
         self.M, self.F = params
         history = jax.device_get(history)
 
-        if print_each is not None:
+        if print_each is not None and self.mesh is not None:
             for t in range(0, num_epochs, int(print_each)):
                 _print_epoch(
                     {k: v[t] for k, v in history.items()}, CONSTRAINED_PRINT_NAMES

@@ -117,3 +117,19 @@ def test_sparse_val_cadence_entries_are_finite(problem):
     _, hist = m.train(num_epochs=20, learning_rate=0.1, print_each=None, val_each=7)
     assert len(hist["val_gene_sim"]) == 3  # epochs 0, 7, 14
     assert np.isfinite(hist["val_gene_sim"]).all()
+
+
+def test_constrained_prints_stream_per_chunk(problem, capsys):
+    """Constrained score lines appear per print_each chunk (live streaming,
+    like the reference loop), and chunking stays bit-exact with one scan."""
+    S, G, d = problem
+    mc = MapperConstrained(S=S, G=G, d=d, target_count=6, random_state=2)
+    out_c, F_c, hist_c = mc.train(num_epochs=20, learning_rate=0.1, print_each=10)
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) == 2  # epochs 0 and 10
+
+    mc2 = MapperConstrained(S=S, G=G, d=d, target_count=6, random_state=2)
+    out_1, F_1, hist_1 = mc2.train(num_epochs=20, learning_rate=0.1, print_each=None)
+    np.testing.assert_allclose(out_c, out_1, atol=1e-6)
+    np.testing.assert_allclose(F_c, F_1, atol=1e-6)
+    np.testing.assert_allclose(hist_c["total_loss"], hist_1["total_loss"], rtol=1e-6)
