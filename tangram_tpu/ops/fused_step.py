@@ -61,6 +61,12 @@ __all__ = [
 
 BETA1, BETA2, ADAM_EPS = 0.9, 0.999, 1e-8
 
+# Entries at or below this are padding sentinels (the sharded 2-D path plants
+# NEG_BIG logits in spot-pad columns so they carry zero softmax mass). Real
+# logits live within a few orders of magnitude of their init; the guard keeps
+# sentinel entries out of the L1/L2 norm sums and their gradients.
+PAD_GUARD = -1e20
+
 
 def fused_supported(lw: LossWeights, constrained: bool) -> bool:
     return True
@@ -76,7 +82,7 @@ def _rowstats_norms_kernel(M_ref, m_ref, l_ref, u_ref, s1_ref, s2_ref, *, s_actu
     tile = M_ref[...].astype(jnp.float32)
     valid = _spot_mask(s_actual, j, tile.shape)
     tile_m = jnp.where(valid, tile, NEG_BIG)
-    tile_z = jnp.where(valid, tile, 0.0)
+    tile_z = jnp.where(valid & (tile > PAD_GUARD), tile, 0.0)
 
     tile_max = jnp.max(tile_m, axis=1, keepdims=True)
 
@@ -153,10 +159,15 @@ def _dm_adam_kernel(
 
     M_tile = M_ref[...].astype(jnp.float32)
     g = P * (dP - r_ref[...])
-    if lam_l1 != 0.0:
-        g = g + lam_l1 * jnp.sign(M_tile)
-    if lam_l2 != 0.0:
-        g = g + (2.0 * lam_l2) * M_tile
+    if lam_l1 != 0.0 or lam_l2 != 0.0:
+        # sentinel (-1e30) pad entries take no norm gradient: their M² would
+        # overflow nu to inf and their sign would drift the sentinel
+        real = M_tile > PAD_GUARD
+        M_norm = jnp.where(real, M_tile, 0.0)
+        if lam_l1 != 0.0:
+            g = g + lam_l1 * jnp.sign(M_norm)
+        if lam_l2 != 0.0:
+            g = g + (2.0 * lam_l2) * M_norm
     g = jnp.where(valid, g, 0.0)
 
     lr = sc_ref[0, 0]
@@ -201,7 +212,7 @@ def _dm_adam_kernel(
     uo_ref[...] = uo_ref[...] * scale + jnp.sum(e * tile_m, axis=1, keepdims=True)
     mo_ref[...] = m_run
     if with_norms:
-        tile_z = jnp.where(spot_valid, M_next, 0.0)
+        tile_z = jnp.where(spot_valid & (M_next > PAD_GUARD), M_next, 0.0)
         s1o_ref[...] += jnp.sum(jnp.abs(tile_z), axis=1, keepdims=True)
         s2o_ref[...] += jnp.sum(tile_z * tile_z, axis=1, keepdims=True)
 

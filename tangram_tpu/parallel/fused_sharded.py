@@ -19,8 +19,10 @@ Two mesh layouts:
   over the spot axis (outside the epilogue vjp, cotangents sliced back per
   shard), so the unchanged single-device epilogue — spatial regularizers,
   ct islands, constrained terms — runs replicated; the rbar reduction of
-  the softmax VJP psums over the spot axis. Only L1/L2 penalties are
-  excluded here (spot-pad logits of −1e30 would poison the norm sums).
+  the softmax VJP psums over the spot axis. L1/L2 logit penalties ride the
+  kernel-carried norm rowstats (one scalar psum each over the whole mesh);
+  the kernels' PAD_GUARD keeps the −1e30 spot-pad sentinels out of the norm
+  sums and their gradients.
 
 Cell and spot counts need not divide the mesh: inputs are zero-padded (M spot
 padding uses −1e30 logits so padded spots carry exactly zero probability) and
@@ -244,7 +246,17 @@ def _grid_step(M, F, count, mu, nu, muF, nuF, stats_l, S_local, ct_local,
     k_real = A.shape[1]
     A_p = _pad_k(A).astype(compute_dtype)
 
-    m, l, u = _merge_rowstats(*stats_l, "spot")
+    need_norms = (not constrained) and (lw.lambda_l1 != 0 or lw.lambda_l2 != 0)
+    if need_norms:
+        # per-shard |M| / M² row sums (sentinel pad entries excluded by the
+        # kernels' PAD_GUARD); one scalar psum each over the whole mesh
+        m_l, l_l, u_l, s1_l, s2_l = stats_l
+        l1_sum = jax.lax.psum(jnp.sum(s1_l), ("cell", "spot"))
+        l2_sum = jax.lax.psum(jnp.sum(s2_l), ("cell", "spot"))
+        m, l, u = _merge_rowstats(m_l, l_l, u_l, "spot")
+    else:
+        l1_sum = l2_sum = None
+        m, l, u = _merge_rowstats(*stats_l, "spot")
     Y_partial, q_partial = _project(M, A_p, w, m, l)
     Y_shard = jax.lax.psum(Y_partial, "cell")
     q_shard = jax.lax.psum(q_partial, "cell")
@@ -265,7 +277,7 @@ def _grid_step(M, F, count, mu, nu, muF, nuF, stats_l, S_local, ct_local,
     else:
         def epi(Yf, qf, h1):
             return unconstrained_epilogue(
-                Yf[:, :k_real], qf, h1, None, None, data_repl, lw
+                Yf[:, :k_real], qf, h1, l1_sum, l2_sum, data_repl, lw
             )
 
         total, vjp, terms = jax.vjp(
@@ -291,12 +303,15 @@ def _grid_step(M, F, count, mu, nu, muF, nuF, stats_l, S_local, ct_local,
     r = jax.lax.psum(_rbar(M, A_p, w, m, l, dY_p, dq_l, dh_local), "spot")
 
     count_new = count + 1
-    M_new, mu_new, nu_new, m2, l2, u2 = _dm_adam(
+    out = _dm_adam(
         M, A_p, w, m, l, dY_p, dq_l, dh_local, r, mu, nu,
-        _adam_scalars(count_new, learning_rate), 0.0, 0.0, with_norms=False,
+        _adam_scalars(count_new, learning_rate), lw.lambda_l1, lw.lambda_l2,
+        with_norms=need_norms,
     )
+    M_new, mu_new, nu_new = out[:3]
     if not constrained:
-        return (M_new, count_new, mu_new, nu_new, (m2, l2, u2)), terms
+        return (M_new, count_new, mu_new, nu_new, tuple(out[3:])), terms
+    m2, l2, u2 = out[3:]
 
     from ..ops.fused_step import BETA1, BETA2
 
@@ -352,14 +367,6 @@ def fit_mapping_fused_sharded(
         mesh = Mesh(devices.reshape(-1), axis_names=("cell",))
 
     if "spot" in mesh.axis_names and mesh.shape["spot"] > 1:
-        if has_norm_penalties:
-            # spot-axis padding plants -1e30 logits whose |M| / M**2 would
-            # poison the norm sums; GSPMD handles this corner instead.
-            raise NotImplementedError(
-                "lambda_l1/lambda_l2 on a 2-D mesh are not supported by the "
-                "fused path; use a 1-D ('cell',) mesh or "
-                "parallel.fit_mapping_sharded (GSPMD)."
-            )
         return _fit_2d(params, data, lw, num_epochs, learning_rate, mesh,
                        moment_dtype, compute_dtype, constrained,
                        opt_state=opt_state, return_opt_state=return_opt_state)
@@ -603,7 +610,10 @@ def _fit_2d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
         extra_specs.extend([P("cell"), P("cell")])
         extra_args.extend([muF0, nuF0])
 
+    need_norms = (not constr) and (lw.lambda_l1 != 0 or lw.lambda_l2 != 0)
+
     def run(M_local, S_local, w_local, data_local, count, mu, nu, *extras):
+        from ..ops.fused_step import _rowstats_norms
         from ..ops.pallas_core import _rowstats
 
         extras = list(extras)
@@ -611,7 +621,10 @@ def _fit_2d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
         if constr:
             F_l, muF, nuF = extras[:3]
         cvalid = _cell_validity(M_local.shape[0], n_cells, "cell")
-        stats_l = tuple(_rowstats(M_local))
+        stats_l = (
+            tuple(_rowstats_norms(M_local)) if need_norms
+            else tuple(_rowstats(M_local))
+        )
 
         if constr:
             def step(carry, _):

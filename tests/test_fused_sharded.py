@@ -233,14 +233,26 @@ def test_fused_sharded_l1_l2_matches_single_device(rng):
     np.testing.assert_allclose(np.asarray(p_sh), np.asarray(p_ref), atol=5e-3)
 
 
-def test_fused_sharded_2d_rejects_l1(rng):
-    M0, data = make_problem(rng)
+def test_fused_sharded_2d_l1_l2_matches_single_device(rng):
+    """L1/L2 logit penalties on the 2-D block mesh == single device: the
+    kernels' PAD_GUARD keeps the −1e30 spot-pad sentinels out of the norm
+    sums/gradients (shapes here don't divide either mesh axis)."""
+    M0, data = make_problem(rng, c=30, s=42)
+    lw = LossWeights(lambda_g1=1.0, lambda_d=1.0, lambda_l1=0.01,
+                     lambda_l2=0.005)
+    p_ref, h_ref = fit_mapping(M0, data, lw, 15, 0.1, impl="pallas", fused=True)
     devs = np.asarray(jax.devices()[:8]).reshape(4, 2)
     mesh2d = Mesh(devs, axis_names=("cell", "spot"))
-    with pytest.raises(NotImplementedError, match="lambda_l1"):
-        fit_mapping_fused_sharded(
-            M0, data, LossWeights(lambda_g1=1.0, lambda_l1=0.1), 5, 0.1,
-            mesh=mesh2d,
+    p_sh, h_sh = fit_mapping_fused_sharded(M0, data, lw, 15, 0.1, mesh=mesh2d)
+    np.testing.assert_allclose(
+        np.asarray(h_sh["total_loss"]), np.asarray(h_ref["total_loss"]),
+        rtol=2e-4, atol=2e-5,
+    )
+    np.testing.assert_allclose(np.asarray(p_sh), np.asarray(p_ref), atol=5e-3)
+    for key in ("l1_reg", "l2_reg"):
+        np.testing.assert_allclose(
+            np.asarray(h_sh[key]), np.asarray(h_ref[key]),
+            rtol=2e-4, atol=2e-5,
         )
 
 
