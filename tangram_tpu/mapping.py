@@ -106,9 +106,13 @@ def adata_to_cluster_expression(adata, cluster_label, scale=True, add_density=Tr
     clusters = list(shares.index)
     codes = pd.Series(np.asarray(adata.obs[cluster_label])).map(
         {c: i for i, c in enumerate(clusters)}
-    )
+    ).to_numpy()
+    # unlabeled cells (NaN / missing category) are excluded from every
+    # cluster aggregate, like the reference's groupby-based aggregation
+    labeled = ~pd.isna(codes)
     indicator = sp.csr_matrix(
-        (np.ones(adata.shape[0]), (codes.to_numpy(), np.arange(adata.shape[0]))),
+        (np.ones(int(labeled.sum())),
+         (codes[labeled].astype(np.int64), np.nonzero(labeled)[0])),
         shape=(len(clusters), adata.shape[0]),
     )
     summed = indicator @ adata.X

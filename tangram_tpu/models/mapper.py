@@ -517,17 +517,7 @@ class Mapper:
             # support the configuration, GSPMD otherwise.
             from ..parallel import fit_mapping_fused_sharded, fit_mapping_sharded
 
-            spot_sharded = (
-                "spot" in self.mesh.axis_names and self.mesh.shape["spot"] > 1
-            )
-            has_norm_penalties = (
-                self.lw.lambda_l1 != 0 or self.lw.lambda_l2 != 0
-            )
-            use_fused_mesh = (
-                "cell" in self.mesh.axis_names
-                and not with_val
-                and not (spot_sharded and has_norm_penalties)
-            )
+            use_fused_mesh = "cell" in self.mesh.axis_names and not with_val
             if use_fused_mesh:
                 params, history = fit_mapping_fused_sharded(
                     self.M.astype(jnp.dtype(self.param_dtype)),

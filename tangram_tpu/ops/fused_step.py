@@ -56,7 +56,6 @@ __all__ = [
     "fused_unconstrained_step",
     "fused_constrained_step",
     "init_fused_opt_state",
-    "fused_supported",
 ]
 
 BETA1, BETA2, ADAM_EPS = 0.9, 0.999, 1e-8
@@ -66,10 +65,6 @@ BETA1, BETA2, ADAM_EPS = 0.9, 0.999, 1e-8
 # logits live within a few orders of magnitude of their init; the guard keeps
 # sentinel entries out of the L1/L2 norm sums and their gradients.
 PAD_GUARD = -1e20
-
-
-def fused_supported(lw: LossWeights, constrained: bool) -> bool:
-    return True
 
 
 # ---------------------------------------------------------------------------

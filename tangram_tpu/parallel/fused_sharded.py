@@ -427,11 +427,16 @@ def _fit_1d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
     ct = None if ct is None else jax.device_put(ct, cell_rows)
     w_full = jax.device_put(w_full, NamedSharding(mesh, P("cell")))
     F0 = None if F0 is None else jax.device_put(F0, NamedSharding(mesh, P("cell")))
-    # the step reads S/ct through the sharded args; blank them in `data`
+    # The step reads S/ct through the sharded args; blank them in `data`.
+    # ct_encode keeps a (1, n_ct) stub: the epilogue consumes the ct columns
+    # through Y but gates the islands penalty on `ct_encode is not None`.
     data_repl = jax.tree.map(
         lambda x: jax.device_put(x, repl),
-        data._replace(S=jnp.zeros((1, S.shape[1]), S.dtype), ct_encode=None,
-                      d_source=None),
+        data._replace(
+            S=jnp.zeros((1, S.shape[1]), S.dtype),
+            ct_encode=None if ct is None else jnp.zeros((1, ct.shape[1]), ct.dtype),
+            d_source=None,
+        ),
     )
     data_specs = jax.tree.map(lambda _: P(), data_repl)
 
@@ -573,10 +578,15 @@ def _fit_2d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
     # G, d, gene_mask, spot graphs and autocorrelation refs stay REPLICATED:
     # they are O(spots × genes) — tiny next to M — and the full epilogue
     # consumes them whole after the spot-axis all-gather of the projection.
+    # ct_encode keeps a (1, n_ct) stub: the epilogue consumes the ct columns
+    # through Y but gates the islands penalty on `ct_encode is not None`.
     data_repl = jax.tree.map(
         lambda x: jax.device_put(x, ns()),
-        data._replace(S=jnp.zeros((1, S.shape[1]), S.dtype), ct_encode=None,
-                      d_source=None),
+        data._replace(
+            S=jnp.zeros((1, S.shape[1]), S.dtype),
+            ct_encode=None if ct is None else jnp.zeros((1, ct.shape[1]), ct.dtype),
+            d_source=None,
+        ),
     )
     data_specs = jax.tree.map(lambda _: P(), data_repl)
 

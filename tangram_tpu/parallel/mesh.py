@@ -98,9 +98,16 @@ def make_mesh(
 
 def mapping_shardings(mesh: Mesh):
     """NamedShardings for (M, MapperData): M 2-D sharded, S by cells,
-    G/d/weights by spots, small gene-axis tensors replicated."""
+    G/d/weights by spots, small gene-axis tensors replicated.
+
+    Axis names absent from ``mesh`` degrade to replication, so a 1-D
+    ``("cell",)`` or ``("spot",)`` mesh (or any custom-named mesh) works —
+    only the matching dimensions are partitioned."""
 
     def ns(*spec):
+        spec = tuple(
+            s if (s is None or s in mesh.axis_names) else None for s in spec
+        )
         return NamedSharding(mesh, P(*spec))
 
     m_sharding = ns("cell", "spot")
@@ -134,9 +141,10 @@ def shard_mapping(params, data: MapperData, mesh: Mesh):
     ``params`` is M (unconstrained) or ``(M, F)`` (constrained); M is 2-D
     sharded, the per-cell filter F rides the "cell" axis."""
     m_sharding, data_sharding = mapping_shardings(mesh)
+    f_axis = "cell" if "cell" in mesh.axis_names else None
     if isinstance(params, tuple):
         M, F = params
-        params = (_put(M, m_sharding), _put(F, NamedSharding(mesh, P("cell"))))
+        params = (_put(M, m_sharding), _put(F, NamedSharding(mesh, P(f_axis))))
     else:
         params = _put(params, m_sharding)
     data = MapperData(

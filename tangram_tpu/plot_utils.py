@@ -325,13 +325,22 @@ def _unit_colorbar(cmap_name, label):
 
 
 def _value_scatter(ax, xs, ys, values, *, s, cmap, robust, perc, log=False,
-                   title=None, invert_y=False):
-    """Ordered scatter of a value map with percentile color limits."""
+                   title=None, invert_y=False, clamp=True):
+    """Ordered scatter of a value map with percentile color limits.
+
+    ``clamp=False`` skips the vmin/vmax limits entirely (matplotlib
+    normalizes over the plotted values) — the reference's measured panel
+    behaves this way, while its predicted panels clamp to the PRE-log value
+    range even when ``log`` is set (quirk preserved, ref plot_utils.py:535-542).
+    """
     xs, ys, values = ordered_predictions(xs, ys, values)
-    vmin, vmax = q_value(values, perc=perc if robust else 0)
+    limits = {}
+    if clamp:
+        vmin, vmax = q_value(values, perc=perc if robust else 0)
+        limits = {"vmin": vmin, "vmax": vmax}
     if log:
         values = np.log(1 + np.asarray(values))
-    ax.scatter(xs, ys, c=values, cmap=cmap, s=s, vmin=vmin, vmax=vmax)
+    ax.scatter(xs, ys, c=values, cmap=cmap, s=s, **limits)
     if title:
         ax.set_title(title)
     ax.axis("off")
@@ -462,7 +471,7 @@ def plot_genes(
             adata_measured.obs[x], adata_measured.obs[y],
             _gene_vector(adata_measured, gene),
             s=s, cmap=cmap, robust=False, perc=0, log=log,
-            title=f"{gene} (measured)", invert_y=invert_y,
+            title=f"{gene} (measured)", invert_y=invert_y, clamp=False,
         )
         _value_scatter(
             axs[row, 1],

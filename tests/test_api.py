@@ -293,3 +293,22 @@ def test_precision_knobs_through_public_api(adatas):
     np.testing.assert_allclose(
         np.asarray(ad_map16.X).sum(axis=1), 1.0, rtol=1e-2
     )
+
+
+def test_adata_to_cluster_expression_skips_unlabeled_cells():
+    """Cells with NaN cluster labels are excluded from every aggregate, like
+    the reference's boolean-selection loop (ref mapping_utils.py:126-131)."""
+    from tangram_tpu.mapping import adata_to_cluster_expression
+
+    X = np.arange(20, dtype=np.float32).reshape(5, 4)
+    obs = pd.DataFrame({"ct": ["a", np.nan, "b", "a", np.nan]})
+    ad = tg.AnnData(X=X, obs=obs,
+                    var=pd.DataFrame(index=[f"g{i}" for i in range(4)]))
+    agg = adata_to_cluster_expression(ad, "ct", scale=False, add_density=True)
+    got = {row: agg.X[i] for i, row in enumerate(agg.obs["ct"])}
+    np.testing.assert_allclose(got["a"], X[[0, 3]].mean(axis=0))
+    np.testing.assert_allclose(got["b"], X[2])
+    # densities are normalized over labeled cells only (pandas value_counts)
+    dens = dict(zip(agg.obs["ct"], agg.obs["cluster_density"]))
+    assert dens["a"] == pytest.approx(2 / 3)
+    assert dens["b"] == pytest.approx(1 / 3)

@@ -50,10 +50,16 @@ def test_fused_sharded_matches_single_device(rng, lw):
 
 
 def test_fused_sharded_clusters_mode_with_ct(rng):
-    """d_source weights + ct-islands columns ride the same sharded machinery."""
+    """d_source weights + ct-islands columns ride the same sharded machinery.
+
+    W is deliberately WEAK (~one 0.05-weight neighbor per spot) so the hinge
+    max(ct_map − W·ct_map, 0) is strictly positive — a dense W makes the
+    penalty identically zero and the test would pass even if the sharded
+    path dropped the term entirely.
+    """
     c, s, g = 32, 40, 8
     M0, data = make_problem(rng, c=c, s=s, g=g)
-    W = (rng.random((s, s)) * (rng.random((s, s)) < 0.4)).astype(np.float32)
+    W = (0.05 * rng.random((s, s)) * (rng.random((s, s)) < 0.05)).astype(np.float32)
     ct = np.zeros((c, 3), np.float32)
     ct[np.arange(c), rng.integers(0, 3, c)] = 1
     ds = rng.random(c).astype(np.float32)
@@ -70,6 +76,11 @@ def test_fused_sharded_clusters_mode_with_ct(rng):
     np.testing.assert_allclose(
         np.asarray(h_sh["total_loss"]), np.asarray(h_ref["total_loss"]),
         rtol=2e-4, atol=2e-5,
+    )
+    assert float(np.asarray(h_ref["ct_island_penalty"])[0]) > 1e-4
+    np.testing.assert_allclose(
+        np.asarray(h_sh["ct_island_penalty"]),
+        np.asarray(h_ref["ct_island_penalty"]), rtol=2e-4, atol=2e-6,
     )
     np.testing.assert_allclose(np.asarray(p_sh), np.asarray(p_ref), atol=3e-4)
 
@@ -258,10 +269,13 @@ def test_fused_sharded_2d_l1_l2_matches_single_device(rng):
 
 def test_fused_sharded_2d_spatial_and_ct(rng):
     """Spot-graph regularizers + ct islands on the 2-D mesh: the full
-    epilogue runs on the gathered projection and must match single-device."""
+    epilogue runs on the gathered projection and must match single-device.
+    The islands graph is weak (see the clusters-mode test) so the hinge
+    penalty is nonzero and a dropped term would be caught."""
     c, s, g = 30, 42, 8
     M0, data = make_problem(rng, c=c, s=s, g=g)
     W = (rng.random((s, s)) * (rng.random((s, s)) < 0.3)).astype(np.float32)
+    W_islands = (0.05 * rng.random((s, s)) * (rng.random((s, s)) < 0.05)).astype(np.float32)
     ct = np.zeros((c, 3), np.float32)
     ct[np.arange(c), rng.integers(0, 3, c)] = 1
     lw = LossWeights(
@@ -273,7 +287,7 @@ def test_fused_sharded_2d_spatial_and_ct(rng):
     _, moran_ref, _ = spatial_local_indicators(data.G, jnp.asarray(W), lw)
     data = data._replace(
         voxel_weights=jnp.asarray(W),
-        neighborhood_filter=jnp.asarray(W),
+        neighborhood_filter=jnp.asarray(W_islands),
         ct_encode=jnp.asarray(ct),
         spatial_weights=jnp.asarray(W),
         moran_ref=moran_ref,
@@ -285,6 +299,11 @@ def test_fused_sharded_2d_spatial_and_ct(rng):
     np.testing.assert_allclose(
         np.asarray(h_sh["total_loss"]), np.asarray(h_ref["total_loss"]),
         rtol=3e-4, atol=3e-5,
+    )
+    assert float(np.asarray(h_ref["ct_island_penalty"])[0]) > 1e-4
+    np.testing.assert_allclose(
+        np.asarray(h_sh["ct_island_penalty"]),
+        np.asarray(h_ref["ct_island_penalty"]), rtol=3e-4, atol=2e-6,
     )
     np.testing.assert_allclose(np.asarray(p_sh), np.asarray(p_ref), atol=5e-3)
 
@@ -446,3 +465,49 @@ def test_fused_sharded_with_neighbor_graph(rng):
         rtol=2e-4, atol=2e-5,
     )
     np.testing.assert_allclose(np.asarray(p_sh), np.asarray(p_ref), atol=5e-3)
+
+
+def test_gspmd_shardings_tolerate_missing_axes(rng):
+    """mapping_shardings degrades absent mesh axis names to replication, so
+    GSPMD training works on meshes without 'cell'/'spot' axes (e.g. a pure
+    data-parallel mesh handed to MapperConstrained)."""
+    from tangram_tpu.parallel import fit_mapping_sharded
+
+    c, s = 24, 16
+    M0, data = make_problem(rng, c=c, s=s)
+    data = data._replace(target_count=jnp.float32(100.0))
+    F0 = jnp.asarray(rng.normal(size=c), jnp.float32)
+    lw = LossWeights(lambda_g1=1.0, lambda_d=1.0, lambda_count=1.0,
+                     lambda_f_reg=1.0)
+    p_ref, h_ref = fit_mapping((M0, F0), data, lw, 10, 0.1, constrained=True,
+                               impl="xla")
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(-1), axis_names=("data",))
+    p_sh, h_sh = fit_mapping_sharded((M0, F0), data, lw, 10, 0.1, mesh=mesh,
+                                     constrained=True)
+    np.testing.assert_allclose(
+        np.asarray(h_sh["total_loss"]), np.asarray(h_ref["total_loss"]),
+        rtol=2e-4, atol=2e-5,
+    )
+    np.testing.assert_allclose(np.asarray(p_sh[0]), np.asarray(p_ref[0]), atol=2e-3)
+
+
+def test_mapper_routes_2d_l1_l2_to_fused_path(rng):
+    """Mapper.train on a 2-D mesh with L1/L2 penalties uses the fused path
+    (no stale GSPMD fallback) and matches single-device training."""
+    from tangram_tpu.models.mapper import Mapper
+
+    c, s, g = 30, 42, 8
+    S = (rng.poisson(2.0, (c, g)) + 0.5).astype(np.float32)
+    G = (rng.poisson(3.0, (s, g)) + 0.5).astype(np.float32)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
+                axis_names=("cell", "spot"))
+    kwargs = dict(lambda_l1=0.01, lambda_l2=0.005, random_state=7)
+    out_mesh, h_mesh = Mapper(S=S, G=G, mesh=mesh, **kwargs).train(
+        num_epochs=15, learning_rate=0.1, print_each=None)
+    out_single, h_single = Mapper(S=S, G=G, **kwargs).train(
+        num_epochs=15, learning_rate=0.1, print_each=None)
+    np.testing.assert_allclose(out_mesh, out_single, atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(h_mesh["total_loss"]), np.asarray(h_single["total_loss"]),
+        rtol=2e-4, atol=2e-5,
+    )

@@ -89,6 +89,24 @@ def test_plot_genes_and_quick(mapped):
     pu.quick_plot_gene(genes[0], ad_sp)
 
 
+def test_plot_genes_log_measured_panel_autoscales(mapped):
+    """With log=True, the measured panel's color range must follow the
+    log1p values (reference leaves it unclamped); a raw-value clamp would
+    collapse logged counts into the bottom of the colormap."""
+    ad_sc, ad_sp, ad_map = mapped
+    ad_ge = tg.project_genes(ad_map, ad_sc)
+    ad_ge.obs["x"] = ad_sp.obs["x"].to_numpy()
+    ad_ge.obs["y"] = ad_sp.obs["y"].to_numpy()
+    gene = list(ad_sc.uns["training_genes"])[0]
+    fig = pu.plot_genes([gene], ad_sp, ad_ge, log=True)
+    fig.canvas.draw()
+    measured_ax = fig.axes[0]
+    vals = np.log1p(np.asarray(ad_sp[:, gene].X).ravel())
+    vmin, vmax = measured_ax.collections[0].get_clim()
+    assert vmax == pytest.approx(vals.max())
+    assert vmin == pytest.approx(vals.min())
+
+
 def test_plot_genes_sc(mapped):
     ad_sc, ad_sp, ad_map = mapped
     ad_ge = tg.project_genes(ad_map, ad_sc)
