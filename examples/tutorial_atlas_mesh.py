@@ -29,17 +29,26 @@ import pandas as pd
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true", help="tiny shapes")
+    parser.add_argument("--full", action="store_true",
+                        help="atlas shapes even without TPU devices")
     parser.add_argument("--cpu", action="store_true", help="force CPU devices")
     args = parser.parse_args()
 
     import jax
 
-    if args.cpu or jax.default_backend() not in ("tpu",):
+    if args.cpu:
+        # set BEFORE any backend probe — switching platforms after a remote
+        # backend initialized can hang
+        jax.config.update("jax_platforms", "cpu")
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu and not args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
     import tangram_tpu as tg
 
-    n_cells, n_spots, n_genes = (600, 400, 60) if args.quick else (20_000, 8_000, 250)
+    # atlas shapes take hours on a CPU mesh — auto-shrink there unless --full
+    quick = args.quick or (not on_tpu and not args.full)
+    n_cells, n_spots, n_genes = (600, 400, 60) if quick else (20_000, 8_000, 250)
     rng = np.random.default_rng(0)
     S = (rng.poisson(1.5, (n_cells, n_genes)) + 0).astype(np.float32)
     G = (rng.poisson(2.0, (n_spots, n_genes)) + 0).astype(np.float32)
@@ -73,7 +82,7 @@ def main():
         ad_sc, ad_sp,
         mode="cells",
         density_prior="rna_count_based",
-        num_epochs=100 if args.quick else 1000,
+        num_epochs=100 if quick else 1000,
         random_state=42,
         verbose=False,
         mesh=mesh,
@@ -97,7 +106,7 @@ def main():
     lw = LossWeights(lambda_g1=1.0, lambda_d=1.0)
     M0 = init_logits(n_cells, n_spots, random_state=42, method="auto")
 
-    epochs = 60 if args.quick else 300
+    epochs = 60 if quick else 300
     with tempfile.TemporaryDirectory() as ckpt_dir:
         # simulate preemption: run a third, "crash", resume to completion
         checkpoint.train_checkpointed(
