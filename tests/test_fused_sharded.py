@@ -511,3 +511,59 @@ def test_mapper_routes_2d_l1_l2_to_fused_path(rng):
         np.asarray(h_mesh["total_loss"]), np.asarray(h_single["total_loss"]),
         rtol=2e-4, atol=2e-5,
     )
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fused_sharded_fuzz(rng, seed):
+    """Randomized shapes × mesh layouts × loss configurations: every sharded
+    run must match single-device fused training. Shapes are drawn NOT to
+    divide the mesh most of the time, so the padding/masking machinery is
+    always in play."""
+    frng = np.random.default_rng(500 + seed)
+    c = int(frng.integers(9, 70))
+    s = int(frng.integers(9, 60))
+    g = int(frng.integers(4, 14))
+    layout = frng.choice(["1d", "2d"])
+    if layout == "1d":
+        n = int(frng.choice([2, 3, 4, 8]))
+        mesh = Mesh(np.asarray(jax.devices()[:n]).reshape(-1),
+                    axis_names=("cell",))
+    else:
+        shape = [(2, 2), (4, 2), (2, 4), (2, 3)][int(frng.integers(0, 4))]
+        mesh = Mesh(np.asarray(jax.devices()[: shape[0] * shape[1]]).reshape(shape),
+                    axis_names=("cell", "spot"))
+
+    M0, data = make_problem(rng, c=c, s=s, g=g)
+    lw_kwargs = dict(lambda_g1=1.0)
+    if frng.random() < 0.7:
+        lw_kwargs["lambda_d"] = float(frng.uniform(0.2, 1.5))
+    else:
+        data = data._replace(d=None)
+    if frng.random() < 0.5:
+        lw_kwargs["lambda_g2"] = float(frng.uniform(0.1, 1.0))
+    if frng.random() < 0.4:
+        lw_kwargs["lambda_l1"] = float(frng.uniform(0.001, 0.02))
+    if frng.random() < 0.4:
+        lw_kwargs["lambda_l2"] = float(frng.uniform(0.001, 0.01))
+    if frng.random() < 0.4:
+        W = (0.05 * frng.random((s, s)) * (frng.random((s, s)) < 0.1)).astype(
+            np.float32)
+        ct = np.zeros((c, 3), np.float32)
+        ct[np.arange(c), frng.integers(0, 3, c)] = 1
+        data = data._replace(ct_encode=jnp.asarray(ct),
+                             neighborhood_filter=jnp.asarray(W))
+        lw_kwargs["lambda_ct_islands"] = float(frng.uniform(0.1, 0.6))
+    lw = LossWeights(**lw_kwargs)
+
+    epochs = 8
+    p_ref, h_ref = fit_mapping(M0, data, lw, epochs, 0.1, impl="pallas",
+                               fused=True)
+    p_sh, h_sh = fit_mapping_fused_sharded(M0, data, lw, epochs, 0.1,
+                                           mesh=mesh)
+    msg = f"c={c} s={s} g={g} mesh={dict(mesh.shape)} lw={lw_kwargs}"
+    np.testing.assert_allclose(
+        np.asarray(h_sh["total_loss"]), np.asarray(h_ref["total_loss"]),
+        rtol=3e-4, atol=3e-5, err_msg=msg,
+    )
+    np.testing.assert_allclose(np.asarray(p_sh), np.asarray(p_ref),
+                               atol=5e-3, err_msg=msg)
