@@ -107,3 +107,50 @@ def test_warm_start_from_adata_map(rng):
     # epoch-0 loss of the resumed run ≈ the converged loss of run 1
     assert hist2["total_loss"][0] == pytest.approx(hist1["total_loss"][-1], rel=1e-3)
     np.testing.assert_allclose(out2, out1, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_mapper_trajectory_fuzz_vs_reference(seed):
+    """Randomized differential test: random shapes and random λ draws, full
+    30-epoch trajectory vs the live torch reference. Regularizers are drawn
+    independently so untested combinations (e.g. entropy + neighborhood +
+    L1) appear over the seeds."""
+    frng = np.random.default_rng(900 + seed)
+    c = int(frng.integers(6, 40))
+    s = int(frng.integers(5, 30))
+    g = int(frng.integers(4, 16))
+    S = frng.poisson(2.0, (c, g)).astype(np.float32) + 0.1
+    G = frng.poisson(3.0, (s, g)).astype(np.float32) + 0.1
+
+    kwargs = dict(lambda_g1=float(frng.uniform(0.5, 2.0)))
+    d = None
+    if frng.random() < 0.6:
+        d = frng.random(s).astype(np.float32)
+        d /= d.sum()
+        kwargs["lambda_d"] = float(frng.uniform(0.2, 1.5))
+    if frng.random() < 0.5:
+        kwargs["lambda_g2"] = float(frng.uniform(0.1, 1.0))
+    if frng.random() < 0.4:
+        kwargs["lambda_r"] = float(frng.uniform(0.01, 0.2))
+    if frng.random() < 0.3:
+        kwargs["lambda_l1"] = float(frng.uniform(0.001, 0.02))
+    if frng.random() < 0.3:
+        kwargs["lambda_l2"] = float(frng.uniform(0.001, 0.01))
+    if frng.random() < 0.4:
+        W = (frng.random((s, s)) * (frng.random((s, s)) < 0.3)).astype(np.float32)
+        kwargs["voxel_weights"] = W
+        kwargs["lambda_neighborhood_g1"] = float(frng.uniform(0.1, 0.8))
+
+    seed_init = int(frng.integers(1, 10_000))
+    ref = REF.Mapper(S=S, G=G, d=d, random_state=seed_init, **kwargs)
+    ref_out, ref_hist = ref.train(num_epochs=30, learning_rate=0.1,
+                                  print_each=None)
+    ours = Mapper(S=S, G=G, d=d, random_state=seed_init, **kwargs)
+    out, hist = ours.train(num_epochs=30, learning_rate=0.1, print_each=None)
+
+    msg = f"c={c} s={s} g={g} seed={seed_init} kwargs={list(kwargs)}"
+    ref_losses = np.array([float(x) for x in ref_hist["total_loss"]])
+    np.testing.assert_allclose(np.array(hist["total_loss"]), ref_losses,
+                               rtol=5e-3, atol=5e-4, err_msg=msg)
+    assert hist["total_loss"][0] == pytest.approx(ref_losses[0], rel=3e-4), msg
+    np.testing.assert_allclose(out, ref_out, atol=3e-3, err_msg=msg)
