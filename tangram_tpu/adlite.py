@@ -29,10 +29,7 @@ def _as_df(value, length: int, default_prefix: str) -> pd.DataFrame:
         return pd.DataFrame(index=pd.Index([f"{default_prefix}{i}" for i in range(length)]))
     if isinstance(value, pd.DataFrame):
         df = value.copy()
-        if isinstance(df.index, pd.RangeIndex):
-            df.index = df.index.astype(str)
-        else:
-            df.index = df.index.astype(str)
+        df.index = df.index.astype(str)
         return df
     if isinstance(value, Mapping):
         return pd.DataFrame(dict(value))
@@ -180,24 +177,41 @@ class AnnData:
             obs_key, var_key = key
         else:
             obs_key, var_key = key, slice(None)
+        # identity fast paths: adata[:, genes] must not reindex (and copy)
+        # O(spots²) obsp graphs, and adata[cells] must not copy layers' genes
+        obs_all = isinstance(obs_key, slice) and obs_key == slice(None)
+        var_all = isinstance(var_key, slice) and var_key == slice(None)
         oi = self._resolve_obs_indexer(obs_key)
         vi = self._resolve_var_indexer(var_key)
 
+        def rows(v, idx, identity):
+            return v if identity else _index_rows(v, idx)
+
+        def square(v):
+            if obs_all:
+                return v
+            return v[oi][:, oi] if sp.issparse(v) else np.asarray(v)[np.ix_(oi, oi)]
+
+        def grid(v):
+            if obs_all and var_all:
+                return v
+            if sp.issparse(v):
+                return v[oi][:, vi]
+            v = np.asarray(v)
+            return v[np.ix_(oi, vi)] if (oi.ndim and vi.ndim) else v[oi][:, vi]
+
         X = self._X
         if X is not None:
-            if sp.issparse(X):
-                X = X[oi][:, vi]
-            else:
-                X = X[np.ix_(oi, vi)] if (oi.ndim and vi.ndim) else X[oi][:, vi]
+            X = grid(X)
         sub = AnnData(
             X=X,
-            obs=self.obs.iloc[oi],
-            var=self.var.iloc[vi],
+            obs=self.obs if obs_all else self.obs.iloc[oi],
+            var=self.var if var_all else self.var.iloc[vi],
             uns=self.uns,
-            obsm={k: _index_rows(v, oi) for k, v in self.obsm.items()},
-            varm={k: _index_rows(v, vi) for k, v in self.varm.items()},
-            obsp={k: v[oi][:, oi] if sp.issparse(v) else np.asarray(v)[np.ix_(oi, oi)] for k, v in self.obsp.items()},
-            layers={k: (v[oi][:, vi] if sp.issparse(v) else np.asarray(v)[np.ix_(oi, vi)]) for k, v in self.layers.items()},
+            obsm={k: rows(v, oi, obs_all) for k, v in self.obsm.items()},
+            varm={k: rows(v, vi, var_all) for k, v in self.varm.items()},
+            obsp={k: square(v) for k, v in self.obsp.items()},
+            layers={k: grid(v) for k, v in self.layers.items()},
         )
         return sub
 

@@ -398,23 +398,19 @@ def _cross_val_batched(
     import jax
     import jax.numpy as jnp
 
-    from .mapping import _densify, adata_to_cluster_expression
+    from .mapping import _check_mapping_args, _densify, adata_to_cluster_expression
     from .models.mapper import fit_mapping, init_logits
     from .ops.losses import LossWeights, MapperData
     from .utils import annotate_gene_sparsity
 
-    # -- argument resolution mirrors map_cells_to_space
-    if lambda_g1 == 0:
-        raise ValueError("lambda_g1 cannot be 0.")
-    if density_prior is not None and (lambda_d == 0 or lambda_d is None):
-        lambda_d = 1
-    if mode == "clusters" and cluster_label is None:
-        raise ValueError("A cluster_label must be specified if mode is 'clusters'.")
+    # -- the SAME validator the per-fold loop path hits via
+    # map_cells_to_space, so batched and loop cross_val accept/reject
+    # identical arguments
+    lambda_d = _check_mapping_args(
+        mode, lambda_g1, lambda_d, density_prior, cluster_label,
+        target_count, lambda_f_reg, lambda_count,
+    )
     constrained = mode == "constrained"
-    if constrained and not all([target_count, lambda_f_reg, lambda_count]):
-        raise ValueError(
-            "target_count, lambda_f_reg and lambda_count must be specified if mode is 'constrained'."
-        )
 
     adata_sc_orig = adata_sc
     if mode == "clusters":
@@ -474,14 +470,10 @@ def _cross_val_batched(
             n_dev = mesh.devices.size
             fold_batch_size = max(n_dev, fold_batch_size // n_dev * n_dev)
     if constrained:
-        # replicate MapperConstrained's init stream (seed, discarded draw,
-        # M, F — mapping_optimizer.py:472-493)
-        if random_state:
-            np.random.seed(seed=random_state)
-        np.random.normal(0, 1, (n_cells, n_spots))
-        M0 = jnp.asarray(np.random.normal(0, 1, (n_cells, n_spots)), jnp.float32)
-        F0 = jnp.asarray(np.random.normal(0, 1, n_cells), jnp.float32)
-        params0 = (M0, F0)
+        from .models.mapper import init_constrained_logits
+
+        params0 = init_constrained_logits(n_cells, n_spots, random_state,
+                                          method="auto")
     else:
         params0 = init_logits(n_cells, n_spots, random_state, method="auto")
 

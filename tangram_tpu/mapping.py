@@ -238,12 +238,12 @@ def _train_gene_report(M, S, G, training_genes, adata_sc, adata_sp):
     """Per-gene training cosine scores + sparsity columns
     (ref mapping_utils.py:401-424), computed as one vectorized pass (through
     the accelerator at atlas scale)."""
-    from .evaluation import projected_expression
+    from .evaluation import _column_cosine, projected_expression
 
     G_pred = projected_expression(M, S)
-    dots = np.einsum("sg,sg->g", G_pred, G)
-    norms = np.linalg.norm(G, axis=0) * np.linalg.norm(G_pred, axis=0)
-    report = pd.DataFrame({"train_score": dots / norms}, index=training_genes)
+    report = pd.DataFrame(
+        {"train_score": _column_cosine(G_pred, G)}, index=training_genes
+    )
     report = report.sort_values(by="train_score", ascending=False)
 
     for adata in (adata_sc, adata_sp):

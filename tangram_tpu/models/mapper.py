@@ -104,6 +104,35 @@ def init_logits(
     return jax.random.normal(key, (n_cells, n_spots), dtype=dtype)
 
 
+def init_constrained_logits(
+    n_cells: int,
+    n_spots: int,
+    random_state: Optional[int] = None,
+    method: str = "auto",
+):
+    """(M, F) init for the constrained mapper — the SINGLE owner of the
+    reference's quirky stream (``mapping_optimizer.py:472-493``): seed (only
+    if truthy), one *discarded* N(0,1) draw of M's shape, then M, then F.
+    Used by both ``MapperConstrained`` and the batched cross-validation so
+    seeded runs stay mutually reproducible.
+    """
+    if method == "auto":
+        method = "numpy" if n_cells * n_spots < (1 << 30) else "jax"
+    if method == "numpy":
+        if random_state:
+            np.random.seed(seed=random_state)
+        np.random.normal(0, 1, (n_cells, n_spots))  # discarded first draw
+        M = jnp.asarray(np.random.normal(0, 1, (n_cells, n_spots)), jnp.float32)
+        F = jnp.asarray(np.random.normal(0, 1, n_cells), jnp.float32)
+        return M, F
+    key = jax.random.PRNGKey(0 if random_state is None else int(random_state))
+    km, kf = jax.random.split(key)
+    return (
+        jax.random.normal(km, (n_cells, n_spots), dtype=jnp.float32),
+        jax.random.normal(kf, (n_cells,), dtype=jnp.float32),
+    )
+
+
 _FIT_STATIC_ARGNAMES = (
     "lw",
     "num_epochs",
@@ -671,29 +700,9 @@ class MapperConstrained:
             # F still random; mirror the reference's F ~ N(0,1) (:490)
             self.F = init_logits(1, n_cells, random_state, init_method)[0]
         else:
-            if init_method == "auto":
-                init_method = "numpy" if n_cells * n_spots < (1 << 30) else "jax"
-            if init_method == "numpy":
-                # Reference draws M twice when adata_map is None (:475 and
-                # :485 both execute), so F comes from the post-second-draw
-                # stream state. Replicate the stream: seed, draw M, draw M
-                # again (kept), draw F.
-                if random_state:
-                    np.random.seed(seed=random_state)
-                np.random.normal(0, 1, (n_cells, n_spots))  # discarded first draw
-                self.M = jnp.asarray(
-                    np.random.normal(0, 1, (n_cells, n_spots)), dtype=jnp.float32
-                )
-                self.F = jnp.asarray(
-                    np.random.normal(0, 1, n_cells), dtype=jnp.float32
-                )
-            else:
-                key = jax.random.PRNGKey(
-                    0 if random_state is None else int(random_state)
-                )
-                km, kf = jax.random.split(key)
-                self.M = jax.random.normal(km, (n_cells, n_spots), dtype=jnp.float32)
-                self.F = jax.random.normal(kf, (n_cells,), dtype=jnp.float32)
+            self.M, self.F = init_constrained_logits(
+                n_cells, n_spots, random_state, init_method
+            )
 
     def _loss_fn(self, verbose=True):
         total, terms = compute_constrained_loss(

@@ -143,8 +143,15 @@ def spatial_local_indicators(G, W, lw: LossWeights, gene_mask=None):
         getis_ord = _safe_div(WG, jnp.sum(G, axis=0))
 
     if lw.lambda_moran > 0:
-        z = G - jnp.mean(G, axis=0)
-        Wz = WG - graph_matmul(W, jnp.broadcast_to(jnp.mean(G, axis=0), G.shape))
+        mean = jnp.mean(G, axis=0)
+        z = G - mean
+        # W @ broadcast(mean) is exactly row_sums(W) ⊗ mean — no second
+        # (spots × spots) matmul needed
+        if hasattr(W, "row_sums"):
+            w_rows = W.row_sums()
+        else:
+            w_rows = jnp.sum(W, axis=1)
+        Wz = WG - w_rows[:, None] * mean[None, :]
         moran = _safe_div(n_spots * z * Wz, jnp.sum(z * z, axis=0))
 
     if lw.lambda_geary > 0:

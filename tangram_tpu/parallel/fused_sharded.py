@@ -46,13 +46,11 @@ from ..ops.losses import (
     LossWeights,
     MapperData,
     constrained_epilogue,
-    kl_div_sum,
     unconstrained_epilogue,
 )
 
 __all__ = ["fit_mapping_fused_sharded"]
 
-COSINE_EPS = 1e-8
 F_PAD_LOGIT = -40.0  # sigmoid(-40) ~ 4e-18: padded filter cells stay off
 M_PAD_LOGIT = -1e30  # padded spot columns get exactly zero softmax mass
 

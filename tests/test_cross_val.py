@@ -115,3 +115,21 @@ def test_fold_batch_auto_sizing(cv_adatas, monkeypatch):
                         num_epochs=20, random_state=5, verbose=False,
                         fold_batch_size="auto")
     assert auto["avg_test_score"] == pytest.approx(base["avg_test_score"], abs=1e-5)
+
+
+def test_batched_validation_matches_loop(cv_adatas):
+    """Both cross_val paths must accept/reject identical arguments: the
+    batched path runs the same validator the loop path hits through
+    map_cells_to_space."""
+    import pytest
+
+    ad_sc, ad_sp = cv_adatas
+    for batched in (True, False):
+        with pytest.raises(ValueError, match="density_prior"):
+            tg.cross_val(ad_sc, ad_sp, mode="cells", lambda_d=1,
+                         density_prior=None, num_epochs=2, verbose=False,
+                         cv_mode="10fold", batched=batched)
+        with pytest.raises(ValueError, match="Invalid input for density_prior"):
+            tg.cross_val(ad_sc, ad_sp, mode="cells", lambda_d=1,
+                         density_prior="rna_count", num_epochs=2,
+                         verbose=False, cv_mode="10fold", batched=batched)
