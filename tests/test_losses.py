@@ -230,3 +230,31 @@ def test_val_metrics_match_reference(rng):
     assert float(m["val_gene_sim"]) == pytest.approx(ref_gv, rel=2e-4)
     assert float(m["val_sp_sparsity_weighted_sim"]) == pytest.approx(ref_spw, rel=2e-4)
     assert float(m["val_entropy"]) == pytest.approx(ref_ent, rel=2e-4)
+
+
+def test_spatial_indicators_neighbor_graph_matches_dense(rng):
+    """Getis-Ord / Moran / Geary computed through a structured NeighborGraph
+    (row_sums/col_sums/graph_matmul branches) must equal the dense-W forms,
+    including the gradients that flow into training."""
+    import jax
+
+    from tangram_tpu.ops.core import neighbor_graph_from_dense
+
+    S, G, M, d, ds, W, ct = make_problem(rng)
+    lw = LossWeights(lambda_getis_ord=1.0, lambda_moran=1.0, lambda_geary=1.0)
+    graph = neighbor_graph_from_dense(W)
+
+    dense = spatial_local_indicators(jnp.asarray(G), jnp.asarray(W), lw)
+    structured = spatial_local_indicators(jnp.asarray(G), graph, lw)
+    for a, b, name in zip(structured, dense, ("getis", "moran", "geary")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=1e-5, err_msg=name)
+
+    def total(Gv, Wv):
+        g1, m1, c1 = spatial_local_indicators(Gv, Wv, lw)
+        return jnp.sum(g1) + jnp.sum(m1) + jnp.sum(c1)
+
+    gd = jax.grad(total)(jnp.asarray(G), jnp.asarray(W))
+    gs = jax.grad(total)(jnp.asarray(G), graph)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gd), rtol=5e-4,
+                               atol=5e-5)
