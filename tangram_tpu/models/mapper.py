@@ -546,7 +546,7 @@ class Mapper:
             # support the configuration, GSPMD otherwise.
             from ..parallel import fit_mapping_fused_sharded, fit_mapping_sharded
 
-            use_fused_mesh = "cell" in self.mesh.axis_names and not with_val
+            use_fused_mesh = "cell" in self.mesh.axis_names
             if use_fused_mesh:
                 params, history = fit_mapping_fused_sharded(
                     self.M.astype(jnp.dtype(self.param_dtype)),
@@ -554,6 +554,8 @@ class Mapper:
                     float(learning_rate), mesh=self.mesh,
                     moment_dtype=jnp.dtype(self.moment_dtype),
                     compute_dtype=jnp.dtype(self.compute_dtype),
+                    val_data=val_data if with_val else None,
+                    val_each=int(val_each) if with_val else None,
                 )
             else:
                 params, history = fit_mapping_sharded(

@@ -400,18 +400,19 @@ def constrained_epilogue(Y, q, h_sum, F, data: MapperData, lw: LossWeights, axis
     return total, terms
 
 
-def val_metrics(M, S, G, gene_mask=None, impl: str = "auto"):
-    """Validation metrics (reference ``_val_loss_fn``,
-    ``mapping_optimizer.py:311-356``): expression similarity, gene-voxel
-    similarity, sparsity-weighted similarity, normalized mapping entropy."""
-    if gene_mask is not None:
-        S = S * gene_mask[None, :]
-        G = G * gene_mask[None, :]
-    n_cells = M.shape[0]
-    w = jnp.full((n_cells,), 1.0 / n_cells, dtype=M.dtype)
-    Y, _, h = mapper_core(M, S, w, impl=impl)
-    G_pred = Y
+VAL_METRIC_KEYS = (
+    "val_total_loss",
+    "val_gene_sim",
+    "val_sp_sparsity_weighted_sim",
+    "val_entropy",
+)
 
+
+def val_metrics_from_projection(Y, G, h_mean, n_spots, gene_mask=None):
+    """Validation metrics given the projection ``Y = Pᵀ S_val``, the measured
+    val expression ``G``, and the mean per-cell softmax entropy ``h_mean`` —
+    the pieces the sharded forward produces without materializing P."""
+    G_pred = Y
     cos_g = cosine_similarity(G_pred, G, axis=0)
     gv_sim = _masked_mean(cos_g, gene_mask)
     vg_sim = jnp.mean(cosine_similarity(G_pred, G, axis=1))
@@ -423,7 +424,7 @@ def val_metrics(M, S, G, gene_mask=None, impl: str = "auto"):
         gene_density = gene_density * gene_mask
     sp_weighted = jnp.sum(cos_g * gene_density) / jnp.sum(gene_density)
 
-    entropy = -jnp.mean(h / jnp.log(M.shape[1]))
+    entropy = -h_mean / jnp.log(n_spots)
 
     return {
         "val_total_loss": expression_sim,
@@ -431,3 +432,18 @@ def val_metrics(M, S, G, gene_mask=None, impl: str = "auto"):
         "val_sp_sparsity_weighted_sim": sp_weighted,
         "val_entropy": entropy,
     }
+
+
+def val_metrics(M, S, G, gene_mask=None, impl: str = "auto"):
+    """Validation metrics (reference ``_val_loss_fn``,
+    ``mapping_optimizer.py:311-356``): expression similarity, gene-voxel
+    similarity, sparsity-weighted similarity, normalized mapping entropy."""
+    if gene_mask is not None:
+        S = S * gene_mask[None, :]
+        G = G * gene_mask[None, :]
+    n_cells = M.shape[0]
+    w = jnp.full((n_cells,), 1.0 / n_cells, dtype=M.dtype)
+    Y, _, h = mapper_core(M, S, w, impl=impl)
+    return val_metrics_from_projection(
+        Y, G, jnp.mean(h), M.shape[1], gene_mask=gene_mask
+    )

@@ -43,10 +43,12 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.losses import (
+    VAL_METRIC_KEYS,
     LossWeights,
     MapperData,
     constrained_epilogue,
     unconstrained_epilogue,
+    val_metrics_from_projection,
 )
 
 __all__ = ["fit_mapping_fused_sharded"]
@@ -342,6 +344,8 @@ def fit_mapping_fused_sharded(
     compute_dtype=jnp.float32,
     opt_state=None,
     return_opt_state=False,
+    val_data: MapperData = None,
+    val_each=None,
 ):
     """Train over a device mesh with the fused kernels.
 
@@ -359,19 +363,28 @@ def fit_mapping_fused_sharded(
         raise NotImplementedError(
             "lambda_l1/lambda_l2 are not part of the constrained loss"
         )
+    if val_data is not None and constrained:
+        # the reference's _val_loss_fn exists on the unconstrained Mapper
+        # only (mapping_optimizer.py:311-356)
+        raise NotImplementedError(
+            "validation metrics are not defined for the constrained mapper"
+        )
 
     if mesh is None:
         devices = np.asarray(jax.devices())
         mesh = Mesh(devices.reshape(-1), axis_names=("cell",))
 
+    val = dict(val_data=val_data, val_each=val_each)
     if "spot" in mesh.axis_names and mesh.shape["spot"] > 1:
         return _fit_2d(params, data, lw, num_epochs, learning_rate, mesh,
                        moment_dtype, compute_dtype, constrained,
-                       opt_state=opt_state, return_opt_state=return_opt_state)
+                       opt_state=opt_state, return_opt_state=return_opt_state,
+                       **val)
 
     return _fit_1d(params, data, lw, num_epochs, learning_rate, mesh,
                    moment_dtype, compute_dtype, constrained,
-                   opt_state=opt_state, return_opt_state=return_opt_state)
+                   opt_state=opt_state, return_opt_state=return_opt_state,
+                   **val)
 
 
 def _opt_arrays(opt_state, shapes, dtypes, pads):
@@ -396,7 +409,7 @@ def _opt_arrays(opt_state, shapes, dtypes, pads):
 
 def _fit_1d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
             compute_dtype, constrained, opt_state=None,
-            return_opt_state=False):
+            return_opt_state=False, val_data=None, val_each=None):
     axis = "cell"
     n_shards = mesh.shape[axis]
     M0 = params[0] if constrained else params
@@ -459,6 +472,14 @@ def _fit_1d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
     muF0 = None if muF0 is None else jax.device_put(muF0, cell_vec)
     nuF0 = None if nuF0 is None else jax.device_put(nuF0, cell_vec)
 
+    with_val = val_data is not None and val_each is not None
+    if with_val:
+        val_each = int(val_each)
+        valS = jax.device_put(
+            _pad_axis(jnp.asarray(val_data.S, jnp.float32), 0, c_pad), cell_rows
+        )
+        valG = jax.device_put(jnp.asarray(val_data.G, jnp.float32), repl)
+
     extra_specs = []
     extra_args = []
     if ct is not None:
@@ -467,21 +488,49 @@ def _fit_1d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
     if constrained:
         extra_specs.extend([P("cell"), P("cell"), P("cell")])
         extra_args.extend([F0, muF0, nuF0])
+    if with_val:
+        extra_specs.extend([P("cell", None), P()])
+        extra_args.extend([valS, valG])
 
     def run(M_local, S_local, w_local, data_local, count, mu, nu, *extras):
-        from ..ops.fused_step import initial_stats
+        from ..ops.fused_step import _pad_k, _project, initial_stats
         from ..ops.pallas_core import _rowstats
 
         extras = list(extras)
         ct_l = extras.pop(0) if ct is not None else None
         if constrained:
             F_l, muF, nuF = extras[:3]
+        if with_val:
+            valS_l, valG_l = extras[-2:]
         data_local = data_local._replace(S=S_local)
         cvalid = _cell_validity(M_local.shape[0], n_cells, axis)
         stats = (
             tuple(_rowstats(M_local)) if constrained
             else tuple(initial_stats(M_local, lw))
         )
+
+        def val_fn(M, stats_new):
+            # forward over the val-gene columns using the step's carried
+            # post-step softmax stats: one extra streamed pass over M, no
+            # standalone rowstats (padded cell rows of valS are zero, so
+            # they add nothing to Y; h is masked to real cells)
+            m, l, u = stats_new[0], stats_new[1], stats_new[2]
+            g_val = valG_l.shape[1]
+            valS_p = _pad_k(valS_l).astype(compute_dtype)
+            Y_part, _ = _project(M, valS_p, w_local, m, l)
+            Y = jax.lax.psum(Y_part, axis)[:, :g_val]
+            h = ((u[:, 0] / l[:, 0]) - m[:, 0] - jnp.log(l[:, 0])) * cvalid
+            h_mean = jax.lax.psum(jnp.sum(h), axis) / n_cells
+            return val_metrics_from_projection(Y, valG_l, h_mean, n_spots)
+
+        def maybe_val(t, M, stats_new):
+            if not with_val:
+                return {}
+            return jax.lax.cond(
+                t % val_each == 0,
+                lambda: val_fn(M, stats_new),
+                lambda: {k: jnp.float32(jnp.nan) for k in VAL_METRIC_KEYS},
+            )
 
         if constrained:
             def step(carry, _):
@@ -500,16 +549,20 @@ def _fit_1d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
             )
             return M_f, F_f, count_f, mu_f, nu_f, muF_f, nuF_f, history
 
-        def step(carry, _):
+        def step(carry, t):
             M, count, mu, nu, stats = carry
             new_carry, terms = _cell_step_unconstrained(
                 M, count, mu, nu, stats, S_local, ct_l, w_local, cvalid,
                 data_local, lw, learning_rate, compute_dtype, axis,
             )
+            if with_val:
+                terms = {**terms, **maybe_val(t, new_carry[0], new_carry[4])}
             return new_carry, terms
 
         (M_f, count_f, mu_f, nu_f, _), history = jax.lax.scan(
-            step, (M_local, count, mu, nu, stats), None, length=num_epochs
+            step, (M_local, count, mu, nu, stats),
+            jnp.arange(num_epochs) if with_val else None,
+            length=None if with_val else num_epochs,
         )
         return M_f, count_f, mu_f, nu_f, history
 
@@ -543,7 +596,7 @@ def _fit_1d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
 
 def _fit_2d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
             compute_dtype, constrained, opt_state=None,
-            return_opt_state=False):
+            return_opt_state=False, val_data=None, val_each=None):
     constr = constrained
     M0 = params[0] if constr else params
     cshards, sshards = mesh.shape["cell"], mesh.shape["spot"]
@@ -588,6 +641,15 @@ def _fit_2d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
     )
     data_specs = jax.tree.map(lambda _: P(), data_repl)
 
+    with_val = val_data is not None and val_each is not None
+    if with_val:
+        val_each = int(val_each)
+        valS = jax.device_put(
+            _pad_axis(jnp.asarray(val_data.S, jnp.float32), 0, c_pad),
+            ns("cell", None),
+        )
+        valG = jax.device_put(jnp.asarray(val_data.G, jnp.float32), ns())
+
     extra_specs, extra_args = [], []
     if ct is not None:
         extra_specs.append(P("cell", None))
@@ -617,22 +679,51 @@ def _fit_2d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
     if constr:
         extra_specs.extend([P("cell"), P("cell")])
         extra_args.extend([muF0, nuF0])
+    if with_val:
+        extra_specs.extend([P("cell", None), P()])
+        extra_args.extend([valS, valG])
 
     need_norms = (not constr) and (lw.lambda_l1 != 0 or lw.lambda_l2 != 0)
 
     def run(M_local, S_local, w_local, data_local, count, mu, nu, *extras):
-        from ..ops.fused_step import _rowstats_norms
+        from ..ops.fused_step import _pad_k, _project, _rowstats_norms
         from ..ops.pallas_core import _rowstats
 
         extras = list(extras)
         ct_l = extras.pop(0) if ct is not None else None
         if constr:
             F_l, muF, nuF = extras[:3]
+        if with_val:
+            valS_l, valG_l = extras[-2:]
         cvalid = _cell_validity(M_local.shape[0], n_cells, "cell")
         stats_l = (
             tuple(_rowstats_norms(M_local)) if need_norms
             else tuple(_rowstats(M_local))
         )
+
+        def val_fn(M, stats_l_new):
+            # same collective pattern as the training forward: stats merged
+            # across spot shards, Y psum'd over cells, gathered over spots
+            m, l, u = _merge_rowstats(*stats_l_new[:3], "spot")
+            g_val = valG_l.shape[1]
+            valS_p = _pad_k(valS_l).astype(compute_dtype)
+            Y_part, _ = _project(M, valS_p, w_local, m, l)
+            Y_shard = jax.lax.psum(Y_part, "cell")
+            Y = jax.lax.all_gather(
+                Y_shard, "spot", axis=0, tiled=True
+            )[:n_spots, :g_val]
+            h = ((u[:, 0] / l[:, 0]) - m[:, 0] - jnp.log(l[:, 0])) * cvalid
+            h_mean = jax.lax.psum(jnp.sum(h), "cell") / n_cells
+            return val_metrics_from_projection(Y, valG_l, h_mean, n_spots)
+
+        def maybe_val(t, M, stats_l_new):
+            if not with_val:
+                return {}
+            return jax.lax.cond(
+                t % val_each == 0,
+                lambda: val_fn(M, stats_l_new),
+                lambda: {k: jnp.float32(jnp.nan) for k in VAL_METRIC_KEYS},
+            )
 
         if constr:
             def step(carry, _):
@@ -651,16 +742,21 @@ def _fit_2d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
             )
             return M_f, F_f, count_f, mu_f, nu_f, muF_f, nuF_f, history
 
-        def step(carry, _):
+        def step(carry, t):
             M, count, mu, nu, stats_l = carry
-            return _grid_step(
+            new_carry, terms = _grid_step(
                 M, None, count, mu, nu, None, None, stats_l, S_local, ct_l,
                 w_local, cvalid, data_local, lw, learning_rate,
                 compute_dtype, n_spots, False,
             )
+            if with_val:
+                terms = {**terms, **maybe_val(t, new_carry[0], new_carry[4])}
+            return new_carry, terms
 
         (M_f, count_f, mu_f, nu_f, _), history = jax.lax.scan(
-            step, (M_local, count, mu, nu, stats_l), None, length=num_epochs
+            step, (M_local, count, mu, nu, stats_l),
+            jnp.arange(num_epochs) if with_val else None,
+            length=None if with_val else num_epochs,
         )
         return M_f, count_f, mu_f, nu_f, history
 

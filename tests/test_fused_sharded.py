@@ -382,19 +382,21 @@ def test_fused_sharded_constrained_resume(rng):
     np.testing.assert_allclose(np.asarray(F2), np.asarray(Ff), atol=1e-6)
 
 
-def test_gspmd_sharded_with_val(rng):
-    """The GSPMD fallback (Mapper mesh path when val_each is set) matches
-    single-device training including the validation history."""
-    import pandas as pd
-
-    import tangram_tpu as tg
+@pytest.mark.parametrize("mesh_kind", ["1d", "2d"])
+def test_mesh_with_val_matches_single_device(rng, mesh_kind):
+    """Mapper.train(mesh=..., val_each=...) — the fused sharded val forward
+    (projection from the carried post-step stats) must match single-device
+    training including the validation history, on both mesh layouts."""
     from tangram_tpu.models.mapper import Mapper
 
     c, s, g = 32, 24, 10
     S = (rng.poisson(2.0, (c, g)) + 0.5).astype(np.float32)
     G = (rng.poisson(3.0, (s, g)) + 0.5).astype(np.float32)
-    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
-                axis_names=("cell", "spot"))
+    if mesh_kind == "1d":
+        mesh = cell_mesh(8)
+    else:
+        mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
+                    axis_names=("cell", "spot"))
 
     m_mesh = Mapper(S=S, G=G, random_state=3, mesh=mesh)
     out_mesh, hist_mesh = m_mesh.train(num_epochs=20, learning_rate=0.1,
@@ -403,11 +405,33 @@ def test_gspmd_sharded_with_val(rng):
     out_single, hist_single = m_single.train(num_epochs=20, learning_rate=0.1,
                                              print_each=None, val_each=5)
     np.testing.assert_allclose(out_mesh, out_single, atol=5e-4)
-    np.testing.assert_allclose(
-        np.asarray(hist_mesh["val_gene_sim"]),
-        np.asarray(hist_single["val_gene_sim"]), atol=5e-4,
-    )
+    for k in ("val_gene_sim", "val_sp_sparsity_weighted_sim", "val_entropy"):
+        np.testing.assert_allclose(
+            np.asarray(hist_mesh[k]), np.asarray(hist_single[k]), atol=5e-4,
+        )
     assert len(hist_mesh["val_gene_sim"]) == 4
+
+
+def test_gspmd_sharded_with_val(rng):
+    """fit_mapping_sharded's in-scan validation (the GSPMD path used for
+    non-cell meshes) matches the unsharded val history."""
+    from tangram_tpu.models.mapper import fit_mapping
+    from tangram_tpu.parallel import fit_mapping_sharded
+
+    c, s = 32, 24
+    M0, data = make_problem(rng, c=c, s=s)
+    val_data = MapperData(S=data.S[:, :4], G=data.G[:, :4])
+    lw = LossWeights(lambda_g1=1.0, lambda_d=1.0)
+    kw = dict(with_val=True, val_data=val_data, val_each=5)
+    p_ref, h_ref = fit_mapping(M0, data, lw, 20, 0.1, impl="xla", **kw)
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
+                axis_names=("cell", "spot"))
+    p_sh, h_sh = fit_mapping_sharded(M0, data, lw, 20, 0.1, mesh=mesh, **kw)
+    mask = np.isfinite(np.asarray(h_ref["val_gene_sim"]))
+    np.testing.assert_allclose(
+        np.asarray(h_sh["val_gene_sim"])[mask],
+        np.asarray(h_ref["val_gene_sim"])[mask], atol=5e-4,
+    )
 
 
 def test_gspmd_constrained(rng):
