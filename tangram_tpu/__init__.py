@@ -45,20 +45,28 @@ from .utils import (
     transfer_annotations_prob_filter,
 )
 
-__all__ = [name for name in dir() if not name.startswith("_")]
+# Plotting and tuning pull in optional heavyweight deps; import lazily.
+_plot_names = {
+    "plot_training_scores", "plot_gene_sparsity", "ordered_predictions",
+    "convert_adata_array", "construct_obs_plot", "plot_cell_annotation",
+    "plot_cell_annotation_sc", "plot_genes", "plot_genes_sc",
+    "quick_plot_gene", "plot_annotation_entropy", "plot_test_scores",
+    "plot_auc", "q_value", "mapping_colors",
+}
+_tune_names = {"mapping_hyperparameter_tuning", "train_multiple_Mapper",
+               "pearson_corr", "vote_entropy", "consensus_entropy"}
+
+__all__ = sorted(
+    [name for name in dir() if not name.startswith("_")]
+    + list(_plot_names) + list(_tune_names)
+)
+
+
+def __dir__():
+    return __all__
 
 
 def __getattr__(name):
-    # Plotting and tuning pull in optional heavyweight deps; import lazily.
-    _plot_names = {
-        "plot_training_scores", "plot_gene_sparsity", "ordered_predictions",
-        "convert_adata_array", "construct_obs_plot", "plot_cell_annotation",
-        "plot_cell_annotation_sc", "plot_genes", "plot_genes_sc",
-        "quick_plot_gene", "plot_annotation_entropy", "plot_test_scores",
-        "plot_auc", "q_value", "mapping_colors",
-    }
-    _tune_names = {"mapping_hyperparameter_tuning", "train_multiple_Mapper",
-                   "pearson_corr", "vote_entropy", "consensus_entropy"}
     if name in _plot_names:
         from . import plot_utils
 

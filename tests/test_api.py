@@ -312,3 +312,26 @@ def test_adata_to_cluster_expression_skips_unlabeled_cells():
     dens = dict(zip(agg.obs["ct"], agg.obs["cluster_density"]))
     assert dens["a"] == pytest.approx(2 / 3)
     assert dens["b"] == pytest.approx(1 / 3)
+
+
+def test_public_namespace_covers_reference_surface():
+    """Every public function/class defined by the reference package is
+    reachable AND discoverable (dir) on the flat tg namespace, matching the
+    reference's star-exports (ref tangram/__init__.py:1-5)."""
+    import ast
+    import pathlib
+
+    ref_pkg = pathlib.Path("/root/reference/tangram")
+    if not ref_pkg.exists():
+        pytest.skip("reference checkout not available")
+    names = set()
+    for p in ref_pkg.glob("*.py"):
+        for node in ast.parse(p.read_text()).body:
+            if isinstance(node, (ast.FunctionDef, ast.ClassDef)):
+                if not node.name.startswith("_"):
+                    names.add(node.name)
+    assert names, "reference surface scan came back empty"
+    missing = sorted(n for n in names if not hasattr(tg, n))
+    assert not missing, f"tg lacks reference symbols: {missing}"
+    undiscoverable = sorted(names - set(dir(tg)))
+    assert not undiscoverable, f"dir(tg) misses: {undiscoverable}"
