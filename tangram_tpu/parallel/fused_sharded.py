@@ -338,7 +338,7 @@ def fit_mapping_fused_sharded(
     data: MapperData,
     lw: LossWeights,
     num_epochs: int,
-    learning_rate: float,
+    learning_rate,
     mesh: Mesh = None,
     moment_dtype=jnp.float32,
     compute_dtype=jnp.float32,
@@ -354,8 +354,10 @@ def fit_mapping_fused_sharded(
     history)`` with ``return_opt_state`` — with the parameters sharded over
     the mesh. ``opt_state`` is a plain dict (count + Adam moments, trimmed
     to the real extents) accepted back by a later call for a bit-exact
-    resume; the softmax stats are recomputed from M. See the module
-    docstring for supported configurations per mesh layout.
+    resume; the softmax stats are recomputed from M. ``learning_rate`` is a
+    constant float or a per-epoch ``(num_epochs,)`` vector
+    (``ops/schedules.py``). See the module docstring for supported
+    configurations per mesh layout.
     """
     constrained = isinstance(params, tuple)
     has_norm_penalties = lw.lambda_l1 != 0 or lw.lambda_l2 != 0
@@ -480,6 +482,15 @@ def _fit_1d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
         )
         valG = jax.device_put(jnp.asarray(val_data.G, jnp.float32), repl)
 
+    # constant lr (python float) or a replicated per-epoch lr vector
+    # (ops/schedules.py); the Adam kernels take lr as a traced scalar either
+    # way, so a schedule costs nothing extra.
+    lr_vec = None
+    if np.ndim(learning_rate) == 1:
+        lr_vec = jax.device_put(jnp.asarray(learning_rate, jnp.float32), repl)
+    else:
+        learning_rate = float(learning_rate)
+
     extra_specs = []
     extra_args = []
     if ct is not None:
@@ -491,12 +502,20 @@ def _fit_1d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
     if with_val:
         extra_specs.extend([P("cell", None), P()])
         extra_args.extend([valS, valG])
+    if lr_vec is not None:
+        extra_specs.append(P())
+        extra_args.append(lr_vec)
 
     def run(M_local, S_local, w_local, data_local, count, mu, nu, *extras):
         from ..ops.fused_step import _pad_k, _project, initial_stats
         from ..ops.pallas_core import _rowstats
 
         extras = list(extras)
+        lr_l = extras.pop() if lr_vec is not None else None
+
+        def lr_at(t):
+            return learning_rate if lr_l is None else lr_l[t]
+
         ct_l = extras.pop(0) if ct is not None else None
         if constrained:
             F_l, muF, nuF = extras[:3]
@@ -533,27 +552,30 @@ def _fit_1d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
             )
 
         if constrained:
-            def step(carry, _):
+            def step(carry, t):
                 M, F, count, mu, nu, muF, nuF, stats = carry
                 new_carry, terms = _cell_step_constrained(
                     M, F, count, mu, nu, muF, nuF, stats, S_local, cvalid,
-                    data_local, lw, learning_rate, compute_dtype, axis,
+                    data_local, lw, lr_at(t), compute_dtype, axis,
                 )
                 return new_carry, terms
 
             (M_f, F_f, count_f, mu_f, nu_f, muF_f, nuF_f, _), history = (
                 jax.lax.scan(
                     step, (M_local, F_l, count, mu, nu, muF, nuF, stats),
-                    None, length=num_epochs,
+                    jnp.arange(num_epochs) if lr_l is not None else None,
+                    length=None if lr_l is not None else num_epochs,
                 )
             )
             return M_f, F_f, count_f, mu_f, nu_f, muF_f, nuF_f, history
+
+        need_t = with_val or lr_l is not None
 
         def step(carry, t):
             M, count, mu, nu, stats = carry
             new_carry, terms = _cell_step_unconstrained(
                 M, count, mu, nu, stats, S_local, ct_l, w_local, cvalid,
-                data_local, lw, learning_rate, compute_dtype, axis,
+                data_local, lw, lr_at(t), compute_dtype, axis,
             )
             if with_val:
                 terms = {**terms, **maybe_val(t, new_carry[0], new_carry[4])}
@@ -561,8 +583,8 @@ def _fit_1d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
 
         (M_f, count_f, mu_f, nu_f, _), history = jax.lax.scan(
             step, (M_local, count, mu, nu, stats),
-            jnp.arange(num_epochs) if with_val else None,
-            length=None if with_val else num_epochs,
+            jnp.arange(num_epochs) if need_t else None,
+            length=None if need_t else num_epochs,
         )
         return M_f, count_f, mu_f, nu_f, history
 
@@ -683,6 +705,14 @@ def _fit_2d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
         extra_specs.extend([P("cell", None), P()])
         extra_args.extend([valS, valG])
 
+    lr_vec = None
+    if np.ndim(learning_rate) == 1:
+        lr_vec = jax.device_put(jnp.asarray(learning_rate, jnp.float32), ns())
+        extra_specs.append(P())
+        extra_args.append(lr_vec)
+    else:
+        learning_rate = float(learning_rate)
+
     need_norms = (not constr) and (lw.lambda_l1 != 0 or lw.lambda_l2 != 0)
 
     def run(M_local, S_local, w_local, data_local, count, mu, nu, *extras):
@@ -690,6 +720,11 @@ def _fit_2d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
         from ..ops.pallas_core import _rowstats
 
         extras = list(extras)
+        lr_l = extras.pop() if lr_vec is not None else None
+
+        def lr_at(t):
+            return learning_rate if lr_l is None else lr_l[t]
+
         ct_l = extras.pop(0) if ct is not None else None
         if constr:
             F_l, muF, nuF = extras[:3]
@@ -726,27 +761,30 @@ def _fit_2d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
             )
 
         if constr:
-            def step(carry, _):
+            def step(carry, t):
                 M, F, count, mu, nu, muF, nuF, stats_l = carry
                 return _grid_step(
                     M, F, count, mu, nu, muF, nuF, stats_l, S_local, ct_l,
-                    w_local, cvalid, data_local, lw, learning_rate,
+                    w_local, cvalid, data_local, lw, lr_at(t),
                     compute_dtype, n_spots, True,
                 )
 
             (M_f, F_f, count_f, mu_f, nu_f, muF_f, nuF_f, _), history = (
                 jax.lax.scan(
                     step, (M_local, F_l, count, mu, nu, muF, nuF, stats_l),
-                    None, length=num_epochs,
+                    jnp.arange(num_epochs) if lr_l is not None else None,
+                    length=None if lr_l is not None else num_epochs,
                 )
             )
             return M_f, F_f, count_f, mu_f, nu_f, muF_f, nuF_f, history
+
+        need_t = with_val or lr_l is not None
 
         def step(carry, t):
             M, count, mu, nu, stats_l = carry
             new_carry, terms = _grid_step(
                 M, None, count, mu, nu, None, None, stats_l, S_local, ct_l,
-                w_local, cvalid, data_local, lw, learning_rate,
+                w_local, cvalid, data_local, lw, lr_at(t),
                 compute_dtype, n_spots, False,
             )
             if with_val:
@@ -755,8 +793,8 @@ def _fit_2d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
 
         (M_f, count_f, mu_f, nu_f, _), history = jax.lax.scan(
             step, (M_local, count, mu, nu, stats_l),
-            jnp.arange(num_epochs) if with_val else None,
-            length=None if with_val else num_epochs,
+            jnp.arange(num_epochs) if need_t else None,
+            length=None if need_t else num_epochs,
         )
         return M_f, count_f, mu_f, nu_f, history
 
