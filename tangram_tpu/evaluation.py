@@ -401,6 +401,7 @@ def _cross_val_batched(
     from .mapping import _check_mapping_args, _densify, adata_to_cluster_expression
     from .models.mapper import fit_mapping, init_logits
     from .ops.losses import LossWeights, MapperData
+    from .ops.schedules import resolve_lr
     from .utils import annotate_gene_sparsity
 
     # -- the SAME validator the per-fold loop path hits via
@@ -488,9 +489,10 @@ def _cross_val_batched(
             target_count=tc_dev,
         )
         in_axes = (None, MapperData(S=None, G=None, gene_mask=0))
+        lr = resolve_lr(learning_rate, int(num_epochs))
         fit = jax.vmap(
             lambda p0, dat: fit_mapping(
-                p0, dat, lw, int(num_epochs), float(learning_rate),
+                p0, dat, lw, int(num_epochs), lr,
                 constrained=constrained,
             ),
             in_axes=in_axes,

@@ -133,3 +133,18 @@ def test_batched_validation_matches_loop(cv_adatas):
             tg.cross_val(ad_sc, ad_sp, mode="cells", lambda_d=1,
                          density_prior="rna_count", num_epochs=2,
                          verbose=False, cv_mode="10fold", batched=batched)
+
+
+def test_cross_val_with_lr_schedule(cv_adatas):
+    """cross_val accepts a per-epoch lr vector on both the batched and loop
+    paths (the fold count is known, so one schedule serves every fold)."""
+    ad_sc, ad_sp = cv_adatas
+    lrs = tg.cosine_lr(peak=0.4, num_epochs=30, end=0.05)
+    kwargs = dict(mode="cells", cv_mode="10fold", num_epochs=30,
+                  random_state=42, verbose=False, learning_rate=lrs)
+    cv_b = tg.cross_val(ad_sc, ad_sp, batched=True, **kwargs)
+    cv_l = tg.cross_val(ad_sc, ad_sp, batched=False, **kwargs)
+    assert cv_b["avg_train_score"] == pytest.approx(
+        cv_l["avg_train_score"], abs=2e-3
+    )
+    assert 0.0 < cv_b["avg_test_score"] <= 1.0
