@@ -93,7 +93,7 @@ def train_checkpointed(
     data,
     lw,
     num_epochs: int,
-    learning_rate: float,
+    learning_rate,
     checkpoint_dir,
     checkpoint_every: int = 100,
     constrained: bool = False,
@@ -109,15 +109,24 @@ def train_checkpointed(
     run survives preemption with intact Adam moments.
 
     Returns ``(params, history)`` where history covers epochs actually run in
-    this invocation plus any restored prefix.
+    this invocation plus any restored prefix. ``learning_rate`` is a constant
+    float or a per-epoch schedule (vector/callable, ``ops/schedules.py``) —
+    a resumed run continues the schedule from the restored epoch.
     """
     from .models.mapper import make_adam
+    from .ops.schedules import resolve_lr
+
+    learning_rate = resolve_lr(learning_rate, int(num_epochs))
+    lr_is_vec = np.ndim(learning_rate) == 1
 
     start_epoch = 0
     opt_state = None
     prefix_history = None
     if resume and latest_epoch(checkpoint_dir) is not None:
-        template = None if mesh is not None else make_adam(learning_rate).init(params)
+        template = (
+            None if mesh is not None
+            else make_adam(1.0 if lr_is_vec else learning_rate).init(params)
+        )
         start_epoch, params, opt_state, prefix_history = restore(
             checkpoint_dir, opt_state_template=template
         )
@@ -140,11 +149,14 @@ def train_checkpointed(
     epoch = start_epoch
     while epoch < num_epochs:
         chunk = min(checkpoint_every, num_epochs - epoch)
+        lr_chunk = (
+            learning_rate[epoch:epoch + chunk] if lr_is_vec else learning_rate
+        )
         if mesh is not None:
             from .parallel import fit_mapping_fused_sharded
 
             params, opt_state, history = fit_mapping_fused_sharded(
-                params, data, lw, chunk, learning_rate, mesh=mesh,
+                params, data, lw, chunk, lr_chunk, mesh=mesh,
                 opt_state=opt_state, return_opt_state=True,
             )
         else:
@@ -153,7 +165,7 @@ def train_checkpointed(
                 data,
                 lw,
                 num_epochs=chunk,
-                learning_rate=learning_rate,
+                learning_rate=lr_chunk,
                 constrained=constrained,
                 impl=impl,
                 opt_state=opt_state,

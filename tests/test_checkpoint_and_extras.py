@@ -195,3 +195,29 @@ def test_train_checkpointed_on_mesh(problem, tmp_path):
     p_50, _ = fit_mapping_fused_sharded(M0, data, lw, 50, 0.1, mesh=mesh)
     np.testing.assert_allclose(np.asarray(p_resumed), np.asarray(p_50), atol=1e-6)
     assert len(hist2["total_loss"]) == 50
+
+
+def test_train_checkpointed_with_lr_schedule(problem, tmp_path):
+    """A scheduled run interrupted mid-way resumes exactly on-schedule: the
+    chunked/resumed trajectory equals one uninterrupted scheduled scan."""
+    from tangram_tpu.ops.schedules import cosine_lr
+
+    M0, data, lw = problem
+    lrs = cosine_lr(0.3, 30, end=0.03)
+    p_full, h_full = fit_mapping(M0, data, lw, 30, lrs)
+
+    ckpt_dir = tmp_path / "ckpts_sched"
+    # first invocation "crashes" after 20 of 30 epochs (two chunks)
+    checkpoint.train_checkpointed(
+        M0, data, lw, 20, lrs[:20], checkpoint_dir=ckpt_dir,
+        checkpoint_every=10,
+    )
+    assert checkpoint.latest_epoch(ckpt_dir) == 20
+    # resume with the full schedule: continues at lrs[20:]
+    p_res, hist = checkpoint.train_checkpointed(
+        M0, data, lw, 30, lrs, checkpoint_dir=ckpt_dir, checkpoint_every=10
+    )
+    np.testing.assert_array_equal(np.asarray(p_res), np.asarray(p_full))
+    np.testing.assert_allclose(
+        hist["total_loss"], np.asarray(h_full["total_loss"]), rtol=1e-6
+    )
