@@ -196,20 +196,24 @@ def main():
                 M0 * 1.0001, data, lw, 200, learning_rate=sched, **kwargs
             )
             t_reached = np.nonzero(t_main >= target)[0]
-            t_epoch = int(t_reached[0]) if len(t_reached) else 200
-            t_parity_s = t_epoch * (t_el / 200)
             result["tuned_lr"] = {
                 "schedule": "cosine(peak=1.0, end=0.1, 200 epochs)",
                 "final_train_score": round(float(t_main[-1]), 4),
-                "parity_epoch": t_epoch,
-                "seconds_to_reference_parity": round(t_parity_s, 3),
-                "speedup_vs_reference_schedule": round(
-                    seconds_to_parity / max(t_parity_s, 1e-9), 1
-                ),
-                "method": "reaches the reference schedule's 1000-epoch "
-                          "train score (parity_target_score above); "
-                          "converges higher by the end of the schedule",
+                "reached_reference_parity": bool(len(t_reached)),
+                "method": "parity = reaching the reference schedule's "
+                          "1000-epoch train score (parity_target_score "
+                          "above)",
             }
+            if len(t_reached):
+                t_epoch = int(t_reached[0])
+                t_parity_s = t_epoch * (t_el / 200)
+                result["tuned_lr"].update(
+                    parity_epoch=t_epoch,
+                    seconds_to_reference_parity=round(t_parity_s, 3),
+                    speedup_vs_reference_schedule=round(
+                        seconds_to_parity / max(t_parity_s, 1e-9), 1
+                    ),
+                )
 
             del M0, data
             gc.collect()

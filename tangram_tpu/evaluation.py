@@ -483,13 +483,14 @@ def _cross_val_batched(
     dsrc_dev = None if d_source is None else jnp.asarray(d_source, dtype=jnp.float32)
     tc_dev = jnp.float32(target_count) if constrained else None
 
+    lr = resolve_lr(learning_rate, int(num_epochs))
+
     def run_chunk(mask_chunk):
         data = MapperData(
             S=S_dev, G=G_dev, gene_mask=mask_chunk, d=d_dev, d_source=dsrc_dev,
             target_count=tc_dev,
         )
         in_axes = (None, MapperData(S=None, G=None, gene_mask=0))
-        lr = resolve_lr(learning_rate, int(num_epochs))
         fit = jax.vmap(
             lambda p0, dat: fit_mapping(
                 p0, dat, lw, int(num_epochs), lr,

@@ -30,6 +30,7 @@ import numpy as np
 import optax
 
 from ..ops.losses import (
+    VAL_METRIC_KEYS,
     LossWeights,
     MapperData,
     compute_constrained_loss,
@@ -43,12 +44,7 @@ __all__ = ["Mapper", "MapperConstrained", "fit_mapping", "init_logits"]
 
 HISTORY_KEYS = ["total_loss", "main_loss", "vg_reg", "kl_reg", "entropy_reg"]
 CONSTRAINED_HISTORY_KEYS = HISTORY_KEYS + ["count_reg", "lambda_f_reg"]
-VAL_KEYS = [
-    "val_total_loss",
-    "val_gene_sim",
-    "val_sp_sparsity_weighted_sim",
-    "val_entropy",
-]
+VAL_KEYS = list(VAL_METRIC_KEYS)
 
 PRINT_NAMES = {
     "main_loss": "Gene-voxel score",
@@ -339,11 +335,22 @@ _fit_mapping_donated = jax.jit(
 def fit_mapping(*args, donate: bool = False, **kwargs):
     """Jitted :func:`_fit_mapping_impl` (see its docstring).
 
+    ``learning_rate`` is a constant, a per-epoch vector of length
+    ``num_epochs``, or a callable ``epoch -> lr`` (``ops/schedules.py``).
+
     ``donate=True`` donates the incoming ``params``/``opt_state`` buffers to
     the computation — at atlas scale (e.g. 50k × 25k, where M is 5 GB) the
     undonated input would otherwise stay alive next to the training carry and
     blow the HBM budget. The caller must not reuse donated arrays.
     """
+    # normalize/validate learning_rate (positional arg 4 per
+    # _fit_mapping_impl's signature) — resolve callables and reject
+    # wrong-length vectors, which lax gather would otherwise silently clamp
+    num_epochs = kwargs["num_epochs"] if "num_epochs" in kwargs else args[3]
+    if "learning_rate" in kwargs:
+        kwargs["learning_rate"] = resolve_lr(kwargs["learning_rate"], num_epochs)
+    elif len(args) >= 5:
+        args = args[:4] + (resolve_lr(args[4], num_epochs),) + args[5:]
     fn = _fit_mapping_donated if donate else _fit_mapping_jit
     return fn(*args, **kwargs)
 

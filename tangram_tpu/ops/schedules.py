@@ -61,12 +61,21 @@ def resolve_lr(learning_rate, num_epochs):
                 dtype=np.float32,
             )
         return vec
-    arr = np.asarray(learning_rate)
-    if arr.ndim == 0:
-        return float(arr)
-    if arr.shape != (num_epochs,):
+    if np.ndim(learning_rate) == 0:
+        try:
+            return float(learning_rate)
+        except TypeError:
+            # a traced scalar (resolve_lr reached from inside jit/vmap):
+            # already constant-per-call, pass through untouched
+            return learning_rate
+    shape = np.shape(learning_rate)
+    if shape != (num_epochs,):
         raise ValueError(
-            f"learning_rate vector has shape {arr.shape}; expected "
+            f"learning_rate vector has shape {shape}; expected "
             f"({num_epochs},) — one value per epoch of this call"
         )
-    return arr.astype(np.float32)
+    if (type(learning_rate).__module__ or "").startswith("jax"):
+        # concrete jax array or tracer of the right shape: avoid a
+        # device->host round-trip / tracer leak
+        return learning_rate
+    return np.asarray(learning_rate, dtype=np.float32)

@@ -359,6 +359,9 @@ def fit_mapping_fused_sharded(
     (``ops/schedules.py``). See the module docstring for supported
     configurations per mesh layout.
     """
+    from ..ops.schedules import resolve_lr
+
+    learning_rate = resolve_lr(learning_rate, num_epochs)
     constrained = isinstance(params, tuple)
     has_norm_penalties = lw.lambda_l1 != 0 or lw.lambda_l2 != 0
     if has_norm_penalties and constrained:

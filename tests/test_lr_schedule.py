@@ -165,3 +165,22 @@ def test_mapper_train_mesh_vector_lr(rng):
     out_one, _ = m_one.train(num_epochs=15, learning_rate=lrs,
                              print_each=None)
     np.testing.assert_allclose(out_mesh, out_one, atol=5e-4)
+
+
+def test_fit_mapping_validates_and_resolves_lr(rng):
+    """The functional core rejects wrong-length vectors (lax gather would
+    silently clamp) and resolves callables itself."""
+    M0, data = make_problem(rng)
+    lw = LossWeights(lambda_g1=1.0)
+    with pytest.raises(ValueError, match="learning_rate vector"):
+        fit_mapping(M0, data, lw, 6, np.asarray([0.1, 0.2], np.float32))
+    p_fn, _ = fit_mapping(M0, data, lw, 4, lambda t: 0.1, impl="xla")
+    p_c, _ = fit_mapping(M0, data, lw, 4, 0.1, impl="xla")
+    np.testing.assert_allclose(np.asarray(p_fn), np.asarray(p_c), atol=1e-6)
+
+    from tangram_tpu.parallel import fit_mapping_fused_sharded
+
+    with pytest.raises(ValueError, match="learning_rate vector"):
+        fit_mapping_fused_sharded(
+            M0, data, lw, 6, np.asarray([0.1, 0.2], np.float32)
+        )
