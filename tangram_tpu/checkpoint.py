@@ -155,9 +155,11 @@ def train_checkpointed(
         if mesh is not None:
             from .parallel import fit_mapping_fused_sharded
 
+            # the previous chunk's params/opt buffers are dead after this
+            # call — donate them so atlas-scale shards fit next to the carry
             params, opt_state, history = fit_mapping_fused_sharded(
                 params, data, lw, chunk, lr_chunk, mesh=mesh,
-                opt_state=opt_state, return_opt_state=True,
+                opt_state=opt_state, return_opt_state=True, donate=True,
             )
         else:
             params, opt_state, history = fit_mapping(

@@ -346,6 +346,7 @@ def fit_mapping_fused_sharded(
     return_opt_state=False,
     val_data: MapperData = None,
     val_each=None,
+    donate=False,
 ):
     """Train over a device mesh with the fused kernels.
 
@@ -356,8 +357,11 @@ def fit_mapping_fused_sharded(
     to the real extents) accepted back by a later call for a bit-exact
     resume; the softmax stats are recomputed from M. ``learning_rate`` is a
     constant float or a per-epoch ``(num_epochs,)`` vector
-    (``ops/schedules.py``). See the module docstring for supported
-    configurations per mesh layout.
+    (``ops/schedules.py``). ``donate=True`` donates the sharded M and Adam
+    moments to the computation (halving their peak HBM next to the training
+    carry — the knob that doubles per-chip shard capacity at atlas scale);
+    the caller must not reuse the incoming buffers. See the module docstring
+    for supported configurations per mesh layout.
     """
     from ..ops.schedules import resolve_lr
 
@@ -379,7 +383,7 @@ def fit_mapping_fused_sharded(
         devices = np.asarray(jax.devices())
         mesh = Mesh(devices.reshape(-1), axis_names=("cell",))
 
-    val = dict(val_data=val_data, val_each=val_each)
+    val = dict(val_data=val_data, val_each=val_each, donate=donate)
     if "spot" in mesh.axis_names and mesh.shape["spot"] > 1:
         return _fit_2d(params, data, lw, num_epochs, learning_rate, mesh,
                        moment_dtype, compute_dtype, constrained,
@@ -412,9 +416,20 @@ def _opt_arrays(opt_state, shapes, dtypes, pads):
     return count, arrays
 
 
+def _donate_argnums(constrained, has_ct):
+    """Argument indices of (M, mu, nu[, F, muF, nuF]) in the jitted
+    shard_map call — the training-state buffers safe to donate."""
+    idx = [0, 5, 6]
+    if constrained:
+        base = 7 + (1 if has_ct else 0)
+        idx += [base, base + 1, base + 2]
+    return tuple(idx)
+
+
 def _fit_1d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
             compute_dtype, constrained, opt_state=None,
-            return_opt_state=False, val_data=None, val_each=None):
+            return_opt_state=False, val_data=None, val_each=None,
+            donate=False):
     axis = "cell"
     n_shards = mesh.shape[axis]
     M0 = params[0] if constrained else params
@@ -603,8 +618,12 @@ def _fit_1d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
         + tuple(extra_specs),
         out_specs=out_specs,
     )
-    out = jax.jit(sharded)(M0, S, w_full, data_repl, count0, mu0, nu0,
-                           *extra_args)
+    jit_kw = (
+        {"donate_argnums": _donate_argnums(constrained, ct is not None)}
+        if donate else {}
+    )
+    out = jax.jit(sharded, **jit_kw)(M0, S, w_full, data_repl, count0, mu0,
+                                     nu0, *extra_args)
     if constrained:
         M_f, F_f, count_f, mu_f, nu_f, muF_f, nuF_f, history = out
         result = (M_f[:n_cells], F_f[:n_cells])
@@ -621,7 +640,8 @@ def _fit_1d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
 
 def _fit_2d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
             compute_dtype, constrained, opt_state=None,
-            return_opt_state=False, val_data=None, val_each=None):
+            return_opt_state=False, val_data=None, val_each=None,
+            donate=False):
     constr = constrained
     M0 = params[0] if constr else params
     cshards, sshards = mesh.shape["cell"], mesh.shape["spot"]
@@ -813,8 +833,12 @@ def _fit_2d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
         + tuple(extra_specs),
         out_specs=out_specs,
     )
-    out = jax.jit(sharded)(M0, S, w_full, data_repl, count0, mu0, nu0,
-                           *extra_args)
+    jit_kw = (
+        {"donate_argnums": _donate_argnums(constr, ct is not None)}
+        if donate else {}
+    )
+    out = jax.jit(sharded, **jit_kw)(M0, S, w_full, data_repl, count0, mu0,
+                                     nu0, *extra_args)
     if constr:
         M_f, F_f, count_f, mu_f, nu_f, muF_f, nuF_f, history = out
         result = (M_f[:n_cells, :n_spots], F_f[:n_cells])

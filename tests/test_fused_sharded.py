@@ -591,3 +591,38 @@ def test_fused_sharded_fuzz(rng, seed):
     )
     np.testing.assert_allclose(np.asarray(p_sh), np.asarray(p_ref),
                                atol=5e-3, err_msg=msg)
+
+
+@pytest.mark.parametrize("mesh_kind", ["1d", "2d"])
+def test_donated_run_matches(rng, mesh_kind):
+    """donate=True (training-state buffers handed to the computation) does
+    not change the math, for both plain and constrained params."""
+    M0, data = make_problem(rng, c=32, s=24)
+    lw = LossWeights(lambda_g1=1.0, lambda_d=1.0)
+    if mesh_kind == "1d":
+        mesh = cell_mesh(8)
+    else:
+        mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
+                    axis_names=("cell", "spot"))
+    p_ref, h_ref = fit_mapping_fused_sharded(M0, data, lw, 12, 0.1, mesh=mesh)
+    p_don, h_don = fit_mapping_fused_sharded(
+        jnp.array(M0), data, lw, 12, 0.1, mesh=mesh, donate=True
+    )
+    np.testing.assert_allclose(np.asarray(p_don), np.asarray(p_ref), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(h_don["total_loss"]), np.asarray(h_ref["total_loss"]),
+        atol=1e-6,
+    )
+
+    F0 = jnp.asarray(rng.normal(0, 1, (M0.shape[0],)).astype(np.float32))
+    datac = data._replace(target_count=jnp.float32(10.0))
+    lwc = LossWeights(lambda_g1=1.0, lambda_count=1.0, lambda_f_reg=1.0)
+    (Mr, Fr), _ = fit_mapping_fused_sharded(
+        (jnp.array(M0), jnp.array(F0)), datac, lwc, 8, 0.1, mesh=mesh
+    )
+    (Md, Fd), _ = fit_mapping_fused_sharded(
+        (jnp.array(M0), jnp.array(F0)), datac, lwc, 8, 0.1, mesh=mesh,
+        donate=True,
+    )
+    np.testing.assert_allclose(np.asarray(Md), np.asarray(Mr), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Fd), np.asarray(Fr), atol=1e-6)
