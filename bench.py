@@ -266,6 +266,16 @@ def main():
                 "projected_seconds_1000_epochs": round(ns_epoch_ms, 3),
                 "projected_seconds_to_parity": round(ns_parity_s, 3),
                 "meets_60s_target": bool(ns_parity_s < 60.0),
+                **(
+                    {
+                        "projected_seconds_to_parity_tuned_lr": round(
+                            ns_epoch_ms
+                            * result["tuned_lr"]["parity_epoch"] / 1e3, 3
+                        )
+                    }
+                    if result.get("tuned_lr", {}).get("reached_reference_parity")
+                    else {}
+                ),
                 "method": "measured per-chip shard step time + ICI ring "
                           "psum model (2*(n-1)/n of the f32 spots x "
                           "genes_padded projection at 100 GB/s); sharded "

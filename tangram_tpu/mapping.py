@@ -289,6 +289,8 @@ def map_cells_to_space(
     moment_dtype="float32",
     compute_dtype="float32",
     param_dtype="float32",
+    early_stop_tol=None,
+    early_stop_window=100,
 ):
     """Learn the probabilistic cell→spot mapping (ref mapping_utils.py:141).
 
@@ -346,6 +348,11 @@ def map_cells_to_space(
             compute_dtype=compute_dtype,
             param_dtype=param_dtype,
         )
+        if early_stop_tol is not None:
+            raise ValueError(
+                "early_stop_tol is not supported in constrained mode (the "
+                "count/filter penalties keep moving the score target)"
+            )
         mapping_matrix, F_out, training_history = mapper.train(
             learning_rate=learning_rate, num_epochs=num_epochs, print_each=print_each
         )
@@ -397,7 +404,9 @@ def map_cells_to_space(
             param_dtype=param_dtype,
         )
         mapping_matrix, training_history = mapper.train(
-            learning_rate=learning_rate, num_epochs=num_epochs, print_each=print_each
+            learning_rate=learning_rate, num_epochs=num_epochs,
+            print_each=print_each, early_stop_tol=early_stop_tol,
+            early_stop_window=early_stop_window,
         )
 
     adata_map = adlite.AnnData(

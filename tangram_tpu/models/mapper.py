@@ -542,13 +542,20 @@ class Mapper:
             float(m["val_entropy"]),
         )
 
-    def train(self, num_epochs, learning_rate=0.1, print_each=100, val_each=None):
+    def train(self, num_epochs, learning_rate=0.1, print_each=100, val_each=None,
+              early_stop_tol=None, early_stop_window=100):
         """Run the optimizer; returns ``(M_probs, training_history)`` exactly
         like the reference ``Mapper.train`` (``mapping_optimizer.py:358-408``).
 
         With ``print_each`` set, the compiled scan runs in ``print_each``-sized
         chunks (Adam state carried across — bit-exact with one scan) so the
         per-epoch score lines stream live, as in the reference loop.
+
+        ``early_stop_tol`` (extension; the reference always runs the full
+        epoch budget) stops training once a ``early_stop_window``-epoch chunk
+        improves the best gene-voxel score by less than the tolerance. The
+        convergence check costs one host sync per window, not per epoch; the
+        returned history covers the epochs actually run.
         """
         # Falsy print_each means "no printing" (the `if print_each:` guards
         # below already treat 0 that way; normalizing avoids a zero chunk
@@ -564,6 +571,12 @@ class Mapper:
         # constant float (reference behavior) or per-epoch vector/callable
         # (ops/schedules.py — e.g. tg.cosine_lr)
         learning_rate = resolve_lr(learning_rate, num_epochs)
+
+        if early_stop_tol is not None and num_epochs > 0:
+            return self._train_early_stopped(
+                num_epochs, learning_rate, print_each, val_each,
+                float(early_stop_tol), int(early_stop_window),
+            )
 
         if self.mesh is not None:
             # multi-chip: shard over the mesh. Fused kernels when they
@@ -655,6 +668,107 @@ class Mapper:
             else:
                 training_history[k] = []
 
+        output = np.asarray(jax.device_get(_final_softmax(self.M)))
+        return output, training_history
+
+    def _train_early_stopped(self, num_epochs, learning_rate, print_each,
+                             val_each, tol, window):
+        """Chunked training that stops once the gene-voxel score stops
+        improving: ``window``-epoch compiled chunks run with the Adam state
+        carried across (each chunk bit-exact with the single-scan path), and
+        training ends when a chunk improves the best score by < ``tol``."""
+        if window <= 0:
+            raise ValueError("early_stop_window must be positive")
+        with_val = val_each is not None
+        val_data = MapperData(S=self._val_S, G=self._val_G)
+        use_mesh = self.mesh is not None
+        if use_mesh and "cell" not in self.mesh.axis_names:
+            raise NotImplementedError(
+                "early stopping over a mesh requires a 'cell' axis "
+                "(the fused sharded path)"
+            )
+        if use_mesh and with_val and window % int(val_each) != 0:
+            raise ValueError(
+                "with mesh + early stopping, early_stop_window must be a "
+                "multiple of val_each (the sharded scan's validation "
+                "cadence restarts each chunk)"
+            )
+        lr_is_vec = np.ndim(learning_rate) == 1
+        histories = []
+        opt_state, epoch, best = None, 0, -np.inf
+        params = (
+            self.M.astype(jnp.dtype(self.param_dtype)) if use_mesh else self.M
+        )
+        stopped_at = None
+        while epoch < num_epochs:
+            chunk = min(window, num_epochs - epoch)
+            lr_chunk = (
+                learning_rate[epoch:epoch + chunk] if lr_is_vec
+                else learning_rate
+            )
+            if use_mesh:
+                from ..parallel import fit_mapping_fused_sharded
+
+                params, opt_state, h = fit_mapping_fused_sharded(
+                    params, self.data, self.lw, chunk, lr_chunk,
+                    mesh=self.mesh,
+                    moment_dtype=jnp.dtype(self.moment_dtype),
+                    compute_dtype=jnp.dtype(self.compute_dtype),
+                    val_data=val_data if with_val else None,
+                    val_each=int(val_each) if with_val else None,
+                    opt_state=opt_state, return_opt_state=True,
+                    donate=epoch > 0,
+                )
+            else:
+                params, opt_state, h = fit_mapping(
+                    params, self.data, self.lw, num_epochs=chunk,
+                    learning_rate=lr_chunk,
+                    with_val=with_val,
+                    val_data=val_data if with_val else None,
+                    val_each=int(val_each) if with_val else 1,
+                    impl=self.impl,
+                    moment_dtype=self.moment_dtype,
+                    compute_dtype=self.compute_dtype,
+                    param_dtype=self.param_dtype,
+                    opt_state=opt_state, return_opt_state=True,
+                    step_offset=epoch,
+                )
+            h = jax.device_get(h)
+            histories.append(
+                {k: np.atleast_1d(np.asarray(v)) for k, v in h.items()}
+            )
+            if print_each is not None:
+                _print_epoch(
+                    {k: v[0] for k, v in histories[-1].items()}, PRINT_NAMES
+                )
+            epoch += chunk
+            chunk_best = float(np.max(histories[-1]["main_loss"]))
+            if chunk_best - best < tol:
+                stopped_at = epoch
+                break
+            best = max(best, chunk_best)
+
+        self.M = params
+        if stopped_at is not None:
+            logging.info(
+                f"Early stopping at epoch {stopped_at}: gene-voxel score "
+                f"improved < {tol} over the last {window}-epoch window."
+            )
+        history = {
+            k: np.concatenate([h[k] for h in histories])
+            for k in histories[0]
+        }
+        epochs_run = epoch
+
+        training_history = _as_history_lists(history, HISTORY_KEYS, epochs_run)
+        for k in VAL_KEYS:
+            if with_val:
+                vals = np.asarray(history[k])
+                training_history[k] = [
+                    float(vals[t]) for t in range(0, epochs_run, int(val_each))
+                ]
+            else:
+                training_history[k] = []
         output = np.asarray(jax.device_get(_final_softmax(self.M)))
         return output, training_history
 

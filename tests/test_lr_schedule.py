@@ -184,3 +184,80 @@ def test_fit_mapping_validates_and_resolves_lr(rng):
         fit_mapping_fused_sharded(
             M0, data, lw, 6, np.asarray([0.1, 0.2], np.float32)
         )
+
+
+class TestEarlyStopping:
+    """Mapper.train(early_stop_tol=...) — window-chunked convergence check
+    (an extension; the reference always runs the full epoch budget)."""
+
+    def _problem(self, rng, c=20, s=12, g=8):
+        S = (rng.poisson(2.0, (c, g)) + 0.5).astype(np.float32)
+        G = (rng.poisson(3.0, (s, g)) + 0.5).astype(np.float32)
+        return S, G
+
+    def test_stops_early_and_prefix_matches(self, rng):
+        S, G = self._problem(rng)
+        m = Mapper(S=S, G=G, random_state=3)
+        out, hist = m.train(num_epochs=2000, learning_rate=0.1,
+                            print_each=None, early_stop_tol=1e-4,
+                            early_stop_window=50)
+        n_run = len(hist["main_loss"])
+        assert n_run < 2000 and n_run % 50 == 0
+        # the run is a bit-exact prefix of the uninterrupted trajectory
+        m_full = Mapper(S=S, G=G, random_state=3)
+        _, hist_full = m_full.train(num_epochs=n_run, learning_rate=0.1,
+                                    print_each=None)
+        np.testing.assert_allclose(
+            hist["main_loss"], hist_full["main_loss"], atol=1e-6
+        )
+        # and it stopped because the score converged
+        assert (
+            max(hist["main_loss"][-50:]) - max(hist["main_loss"][:-50]) < 1e-4
+        )
+
+    def test_runs_full_budget_when_improving(self, rng):
+        S, G = self._problem(rng)
+        m = Mapper(S=S, G=G, random_state=3)
+        _, hist = m.train(num_epochs=60, learning_rate=0.1, print_each=None,
+                          early_stop_tol=1e-12, early_stop_window=30)
+        assert len(hist["main_loss"]) == 60
+
+    def test_mesh_early_stop_matches_single_device(self, rng):
+        S, G = self._problem(rng, c=32, s=24)
+        mesh = Mesh(np.asarray(jax.devices()[:8]), axis_names=("cell",))
+        m_mesh = Mapper(S=S, G=G, random_state=4, mesh=mesh)
+        out_mesh, h_mesh = m_mesh.train(
+            num_epochs=1000, learning_rate=0.1, print_each=None,
+            early_stop_tol=1e-4, early_stop_window=50,
+        )
+        m_one = Mapper(S=S, G=G, random_state=4)
+        out_one, h_one = m_one.train(
+            num_epochs=1000, learning_rate=0.1, print_each=None,
+            early_stop_tol=1e-4, early_stop_window=50,
+        )
+        assert len(h_mesh["main_loss"]) == len(h_one["main_loss"])
+        # hundreds of epochs accumulate ~1e-3 reduction-order drift between
+        # the sharded and single-device fused paths; per-step equivalence is
+        # asserted tightly in test_fused_sharded.py
+        np.testing.assert_allclose(out_mesh, out_one, atol=5e-3)
+
+    def test_map_cells_to_space_early_stop(self, rng):
+        import pandas as pd
+
+        import tangram_tpu as tg
+
+        S, G = self._problem(rng)
+        genes = [f"g{i}" for i in range(S.shape[1])]
+        ad_sc = tg.AnnData(X=S, var=pd.DataFrame(index=genes))
+        ad_sp = tg.AnnData(X=G, var=pd.DataFrame(index=genes))
+        tg.pp_adatas(ad_sc, ad_sp)
+        ad_map = tg.map_cells_to_space(
+            ad_sc, ad_sp, num_epochs=2000, random_state=1, verbose=False,
+            early_stop_tol=1e-4, early_stop_window=50,
+        )
+        assert len(ad_map.uns["training_history"]["main_loss"]) < 2000
+        with pytest.raises(ValueError, match="constrained"):
+            tg.map_cells_to_space(
+                ad_sc, ad_sp, mode="constrained", target_count=10,
+                num_epochs=100, verbose=False, early_stop_tol=1e-4,
+            )
