@@ -261,3 +261,4 @@ class TestEarlyStopping:
                 ad_sc, ad_sp, mode="constrained", target_count=10,
                 num_epochs=100, verbose=False, early_stop_tol=1e-4,
             )
+
