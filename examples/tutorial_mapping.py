@@ -77,6 +77,26 @@ def main(quick=False):
     )
     print("train score:", round(ad_map.uns["training_history"]["main_loss"][-1], 3))
 
+    # 3b. the same mapping an order of magnitude faster: a tuned cosine lr
+    # schedule + stop-on-convergence (extensions; the constant-lr run above
+    # keeps the reference's exact schedule for parity)
+    ad_map_fast = tg.map_cells_to_space(
+        ad_sc,
+        ad_sp,
+        mode="cells",
+        density_prior="rna_count_based",
+        num_epochs=epochs,
+        learning_rate=tg.cosine_lr(1.0, epochs, end=0.1),
+        early_stop_tol=1e-4,
+        early_stop_window=max(epochs // 20, 10),
+        random_state=42,
+        verbose=False,
+    )
+    fast_hist = ad_map_fast.uns["training_history"]["main_loss"]
+    print(
+        f"tuned schedule: score {fast_hist[-1]:.3f} in {len(fast_hist)} epochs"
+    )
+
     # 4. transfer cell-type annotations onto space
     tg.project_cell_annotations(ad_map, ad_sp, annotation="subclass_label")
     print("ct prediction:", ad_sp.obsm["tangram_ct_pred"].shape)

@@ -262,3 +262,22 @@ class TestEarlyStopping:
                 num_epochs=100, verbose=False, early_stop_tol=1e-4,
             )
 
+
+def test_vector_lr_gspmd_sharded(rng):
+    """The GSPMD mesh path (fit_mapping_sharded) follows the scheduled
+    trajectory of the unsharded XLA run — the lr vector rides along
+    replicated."""
+    from tangram_tpu.parallel import fit_mapping_sharded
+
+    M0, data = make_problem(rng, c=32, s=24)
+    lw = LossWeights(lambda_g1=1.0, lambda_d=1.0)
+    lrs = cosine_lr(0.5, 10, end=0.05)
+    p_ref, h_ref = fit_mapping(M0, data, lw, 10, lrs, impl="xla")
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
+                axis_names=("cell", "spot"))
+    p_sh, h_sh = fit_mapping_sharded(M0, data, lw, 10, lrs, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(p_sh), np.asarray(p_ref), atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(h_sh["total_loss"]), np.asarray(h_ref["total_loss"]),
+        atol=5e-5,
+    )
