@@ -44,6 +44,10 @@ __all__ = [
 
 TUNABLE_KEYS = [
     "learning_rate",
+    # extensions: searchable cosine lr schedule (lr_peak -> lr_end over
+    # num_epochs); constant learning_rate remains the default behavior
+    "lr_peak",
+    "lr_end",
     "num_epochs",
     "lambda_d",
     "lambda_g1",
@@ -298,24 +302,35 @@ def _run_population(
         [init_logits(n_cells, n_spots, r, "auto") for r in range(N_REPEATS)]
     )
 
-    lam_keys = [k for k in TUNABLE_KEYS if k not in ("learning_rate", "num_epochs")]
+    lam_keys = [
+        k for k in TUNABLE_KEYS
+        if k not in ("learning_rate", "lr_peak", "lr_end", "num_epochs")
+    ]
 
-    def fit_one(lam_vec, lr, M0, num_epochs):
+    def fit_one(lam_vec, lr_peak, lr_end, M0, num_epochs):
         import optax
 
         lam = {k: lam_vec[i] for i, k in enumerate(lam_keys)}
         data_arrays = arrays
 
-        optimizer = make_adam(lr)
+        # adam(1.0) scaled by the per-epoch cosine lr is bit-identical to
+        # adam(lr) when lr_peak == lr_end (constant — the reference setup)
+        optimizer = make_adam(1.0)
         opt_state = optimizer.init(M0)
 
-        def step(carry, _):
+        def step(carry, t):
             M, opt_state = carry
+            lr_t = lr_end + (lr_peak - lr_end) * 0.5 * (
+                1.0 + jnp.cos(jnp.pi * t / num_epochs)
+            )
             grads = jax.grad(lambda m: _tuner_loss(m, lam, data_arrays)[0])(M)
             updates, opt_state = optimizer.update(grads, opt_state, M)
+            updates = jax.tree.map(lambda u: u * lr_t, updates)
             return (optax.apply_updates(M, updates), opt_state), None
 
-        (M, _), _ = jax.lax.scan(step, (M0, opt_state), None, length=num_epochs)
+        (M, _), _ = jax.lax.scan(
+            step, (M0, opt_state), jnp.arange(num_epochs, dtype=jnp.float32)
+        )
         P = jax.nn.softmax(M, axis=1)
         # reference quirk: _val_loss_fn evaluates on the train split
         vm = val_metrics(M, S_dev, G_dev, gene_mask=jnp.asarray(train_mask))
@@ -331,10 +346,12 @@ def _run_population(
         fit_batched = jax.jit(
             jax.vmap(  # over configs
                 jax.vmap(  # over repeats
-                    lambda lam_vec, lr, M0: fit_one(lam_vec, lr, M0, num_epochs),
-                    in_axes=(None, None, 0),
+                    lambda lam_vec, pk, end, M0: fit_one(
+                        lam_vec, pk, end, M0, num_epochs
+                    ),
+                    in_axes=(None, None, None, 0),
                 ),
-                in_axes=(0, 0, None),
+                in_axes=(0, 0, 0, None),
             )
         )
         if mesh is not None:
@@ -350,16 +367,24 @@ def _run_population(
                 [[float(configs[i].get(k, 0.0)) for k in lam_keys] for i in chunk],
                 dtype=jnp.float32,
             )
-            lrs = jnp.asarray(
-                [float(configs[i].get("learning_rate", 0.1)) for i in chunk],
-                dtype=jnp.float32,
-            )
+            peaks, ends = [], []
+            for i in chunk:
+                pk = float(
+                    configs[i].get(
+                        "lr_peak", configs[i].get("learning_rate", 0.1)
+                    )
+                )
+                peaks.append(pk)
+                ends.append(float(configs[i].get("lr_end", pk)))
+            lr_peaks = jnp.asarray(peaks, dtype=jnp.float32)
+            lr_ends = jnp.asarray(ends, dtype=jnp.float32)
             if mesh is not None and len(chunk) % mesh.devices.size == 0:
                 # trial data parallelism: each device trains its own configs
                 # (the TPU-native replacement for Ray's process-per-trial)
                 lam_mat = jax.device_put(lam_mat, config_sharding)
-                lrs = jax.device_put(lrs, config_sharding)
-            Ps, val_scores = fit_batched(lam_mat, lrs, M0s)
+                lr_peaks = jax.device_put(lr_peaks, config_sharding)
+                lr_ends = jax.device_put(lr_ends, config_sharding)
+            Ps, val_scores = fit_batched(lam_mat, lr_peaks, lr_ends, M0s)
             Ps = np.asarray(Ps)  # (chunk, repeats, c, s)
             val_scores = np.asarray(val_scores)
 

@@ -227,3 +227,41 @@ def test_tuner_trial_mesh(tuner_adatas):
         sharded.get_results().get_dataframe()["gene_expr_correctness"].to_numpy(),
         atol=2e-3,
     )
+
+
+def test_tuner_searches_lr_schedules(tuner_adatas):
+    """lr_peak/lr_end configs (extension: searchable cosine schedule) run
+    through the population search; peak==end reproduces the constant-lr
+    trajectory exactly."""
+    ad_sc, ad_sp = tuner_adatas
+    metric = ["gene_expr_correctness"]
+    config = {
+        "lr_peak": tuning.loguniform(0.1, 1.0),
+        "lr_end": tuning.loguniform(0.01, 0.1),
+        "lambda_g1": 1.0,
+        "num_epochs": 30,
+    }
+    tuner = tg.mapping_hyperparameter_tuning(
+        ad_sc, ad_sp, metric, config, tuner_num_samples=3,
+        cluster_label="subclass_label",
+    )
+    df = tuner.get_results().get_dataframe()
+    assert len(df) == 3
+    assert np.isfinite(df["gene_expr_correctness"]).all()
+    assert (df["config/lr_peak"] >= df["config/lr_end"]).all()
+
+    # degenerate schedule (peak == end) == plain constant learning_rate
+    base = {"lambda_g1": 1.0, "num_epochs": 30}
+    t_const = tg.mapping_hyperparameter_tuning(
+        ad_sc, ad_sp, metric, {**base, "learning_rate": 0.1},
+        tuner_num_samples=1, cluster_label="subclass_label",
+    ).get_results().get_dataframe()
+    t_sched = tg.mapping_hyperparameter_tuning(
+        ad_sc, ad_sp, metric, {**base, "lr_peak": 0.1, "lr_end": 0.1},
+        tuner_num_samples=1, cluster_label="subclass_label",
+    ).get_results().get_dataframe()
+    np.testing.assert_allclose(
+        t_const["gene_expr_correctness"].to_numpy(),
+        t_sched["gene_expr_correctness"].to_numpy(),
+        rtol=1e-6,
+    )
