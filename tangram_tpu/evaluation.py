@@ -415,30 +415,23 @@ def _cross_val_batched(
 
     adata_sc_orig = adata_sc
     if mode == "clusters":
-        adata_sc_agg_scored = adata_to_cluster_expression(adata_sc, cluster_label, scale)
+        # one aggregation serves both roles (add_density=True is the
+        # default, so the scored and mapped views are the same object)
         adata_sc = adata_to_cluster_expression(
             adata_sc, cluster_label, scale, add_density=True
         )
+        adata_sc_agg_scored = adata_sc
 
     training_genes = list(adata_sc.uns["training_genes"])
     S = _densify(adata_sc[:, training_genes].X)
     G = _densify(adata_sp[:, training_genes].X)
 
-    d_source = None
-    if isinstance(density_prior, str) and density_prior == "rna_count_based":
-        density_prior = adata_sp.obs["rna_count_based_density"]
-    elif isinstance(density_prior, str) and density_prior == "uniform":
-        density_prior = adata_sp.obs["uniform_density"]
-    d = density_prior
-    if mode in ("clusters", "constrained"):
-        if mode == "clusters":
-            d_source = np.array(adata_sc.obs["cluster_density"])
-        if d is None:
-            d = adata_sp.obs["uniform_density"]
-        if lambda_d is None or lambda_d == 0:
-            lambda_d = 1
-    if d is not None:
-        d = np.asarray(d, dtype=np.float32)
+    # the same prior resolution map_cells_to_space uses, so the batched and
+    # loop CV paths stay in lockstep on density semantics
+    from .mapping import _resolve_density
+
+    prior = _resolve_density(mode, density_prior, lambda_d, adata_sc, adata_sp)
+    d, d_source, lambda_d = prior.d, prior.d_source, prior.lambda_d
 
     lw = LossWeights(
         lambda_g1=float(lambda_g1),

@@ -308,6 +308,13 @@ def map_cells_to_space(
         mode, lambda_g1, lambda_d, density_prior, cluster_label,
         target_count, lambda_f_reg, lambda_count,
     )
+    if mode == "constrained" and early_stop_tol is not None:
+        # reject before the Mapper constructor draws/uploads the full
+        # (cells × spots) init — fail fast with the other arg validation
+        raise ValueError(
+            "early_stop_tol is not supported in constrained mode (the "
+            "count/filter penalties keep moving the score target)"
+        )
 
     if mode == "clusters":
         adata_sc = adata_to_cluster_expression(
@@ -348,11 +355,6 @@ def map_cells_to_space(
             compute_dtype=compute_dtype,
             param_dtype=param_dtype,
         )
-        if early_stop_tol is not None:
-            raise ValueError(
-                "early_stop_tol is not supported in constrained mode (the "
-                "count/filter penalties keep moving the score target)"
-            )
         mapping_matrix, F_out, training_history = mapper.train(
             learning_rate=learning_rate, num_epochs=num_epochs, print_each=print_each
         )

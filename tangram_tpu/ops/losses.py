@@ -442,7 +442,9 @@ def val_metrics(M, S, G, gene_mask=None, impl: str = "auto"):
         S = S * gene_mask[None, :]
         G = G * gene_mask[None, :]
     n_cells = M.shape[0]
-    w = jnp.full((n_cells,), 1.0 / n_cells, dtype=M.dtype)
+    # w stays f32 regardless of M's storage dtype: the Pallas stat blocks
+    # reject bf16 vector operands (same constraint as unconstrained_inputs)
+    w = jnp.full((n_cells,), 1.0 / n_cells, dtype=jnp.float32)
     Y, _, h = mapper_core(M, S, w, impl=impl)
     return val_metrics_from_projection(
         Y, G, jnp.mean(h), M.shape[1], gene_mask=gene_mask

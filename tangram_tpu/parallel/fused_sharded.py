@@ -416,13 +416,13 @@ def _opt_arrays(opt_state, shapes, dtypes, pads):
     return count, arrays
 
 
-def _donate_argnums(constrained, has_ct):
+def _donate_argnums(extra_names):
     """Argument indices of (M, mu, nu[, F, muF, nuF]) in the jitted
-    shard_map call — the training-state buffers safe to donate."""
+    shard_map call — the training-state buffers safe to donate. Optional
+    extras start at position 7 and are located by name."""
     idx = [0, 5, 6]
-    if constrained:
-        base = 7 + (1 if has_ct else 0)
-        idx += [base, base + 1, base + 2]
+    idx += [7 + extra_names.index(n) for n in ("F", "muF", "nuF")
+            if n in extra_names]
     return tuple(idx)
 
 
@@ -509,36 +509,42 @@ def _fit_1d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
     else:
         learning_rate = float(learning_rate)
 
-    extra_specs = []
-    extra_args = []
+    # optional inputs travel as (name, spec, array) triples — run() looks
+    # them up by name, never by position
+    extra_names, extra_specs, extra_args = [], [], []
+
+    def add_extra(name, spec, arr):
+        extra_names.append(name)
+        extra_specs.append(spec)
+        extra_args.append(arr)
+
     if ct is not None:
-        extra_specs.append(P("cell", None))
-        extra_args.append(ct)
+        add_extra("ct", P("cell", None), ct)
     if constrained:
-        extra_specs.extend([P("cell"), P("cell"), P("cell")])
-        extra_args.extend([F0, muF0, nuF0])
+        add_extra("F", P("cell"), F0)
+        add_extra("muF", P("cell"), muF0)
+        add_extra("nuF", P("cell"), nuF0)
     if with_val:
-        extra_specs.extend([P("cell", None), P()])
-        extra_args.extend([valS, valG])
+        add_extra("valS", P("cell", None), valS)
+        add_extra("valG", P(), valG)
     if lr_vec is not None:
-        extra_specs.append(P())
-        extra_args.append(lr_vec)
+        add_extra("lr", P(), lr_vec)
 
     def run(M_local, S_local, w_local, data_local, count, mu, nu, *extras):
         from ..ops.fused_step import _pad_k, _project, initial_stats
         from ..ops.pallas_core import _rowstats
 
-        extras = list(extras)
-        lr_l = extras.pop() if lr_vec is not None else None
+        ex = dict(zip(extra_names, extras))
+        lr_l = ex.get("lr")
 
         def lr_at(t):
             return learning_rate if lr_l is None else lr_l[t]
 
-        ct_l = extras.pop(0) if ct is not None else None
+        ct_l = ex.get("ct")
         if constrained:
-            F_l, muF, nuF = extras[:3]
+            F_l, muF, nuF = ex["F"], ex["muF"], ex["nuF"]
         if with_val:
-            valS_l, valG_l = extras[-2:]
+            valS_l, valG_l = ex["valS"], ex["valG"]
         data_local = data_local._replace(S=S_local)
         cvalid = _cell_validity(M_local.shape[0], n_cells, axis)
         stats = (
@@ -619,8 +625,7 @@ def _fit_1d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
         out_specs=out_specs,
     )
     jit_kw = (
-        {"donate_argnums": _donate_argnums(constrained, ct is not None)}
-        if donate else {}
+        {"donate_argnums": _donate_argnums(extra_names)} if donate else {}
     )
     out = jax.jit(sharded, **jit_kw)(M0, S, w_full, data_repl, count0, mu0,
                                      nu0, *extra_args)
@@ -695,13 +700,17 @@ def _fit_2d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
         )
         valG = jax.device_put(jnp.asarray(val_data.G, jnp.float32), ns())
 
-    extra_specs, extra_args = [], []
+    extra_names, extra_specs, extra_args = [], [], []
+
+    def add_extra(name, spec, arr):
+        extra_names.append(name)
+        extra_specs.append(spec)
+        extra_args.append(arr)
+
     if ct is not None:
-        extra_specs.append(P("cell", None))
-        extra_args.append(ct)
+        add_extra("ct", P("cell", None), ct)
     if constr:
-        extra_specs.append(P("cell"))
-        extra_args.append(F0)
+        add_extra("F", P("cell"), F0)
 
     if constr:
         count0, (mu0, nu0, muF0, nuF0) = _opt_arrays(
@@ -722,17 +731,16 @@ def _fit_2d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
     muF0 = None if muF0 is None else jax.device_put(muF0, ns("cell"))
     nuF0 = None if nuF0 is None else jax.device_put(nuF0, ns("cell"))
     if constr:
-        extra_specs.extend([P("cell"), P("cell")])
-        extra_args.extend([muF0, nuF0])
+        add_extra("muF", P("cell"), muF0)
+        add_extra("nuF", P("cell"), nuF0)
     if with_val:
-        extra_specs.extend([P("cell", None), P()])
-        extra_args.extend([valS, valG])
+        add_extra("valS", P("cell", None), valS)
+        add_extra("valG", P(), valG)
 
     lr_vec = None
     if np.ndim(learning_rate) == 1:
         lr_vec = jax.device_put(jnp.asarray(learning_rate, jnp.float32), ns())
-        extra_specs.append(P())
-        extra_args.append(lr_vec)
+        add_extra("lr", P(), lr_vec)
     else:
         learning_rate = float(learning_rate)
 
@@ -742,17 +750,17 @@ def _fit_2d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
         from ..ops.fused_step import _pad_k, _project, _rowstats_norms
         from ..ops.pallas_core import _rowstats
 
-        extras = list(extras)
-        lr_l = extras.pop() if lr_vec is not None else None
+        ex = dict(zip(extra_names, extras))
+        lr_l = ex.get("lr")
 
         def lr_at(t):
             return learning_rate if lr_l is None else lr_l[t]
 
-        ct_l = extras.pop(0) if ct is not None else None
+        ct_l = ex.get("ct")
         if constr:
-            F_l, muF, nuF = extras[:3]
+            F_l, muF, nuF = ex["F"], ex["muF"], ex["nuF"]
         if with_val:
-            valS_l, valG_l = extras[-2:]
+            valS_l, valG_l = ex["valS"], ex["valG"]
         cvalid = _cell_validity(M_local.shape[0], n_cells, "cell")
         stats_l = (
             tuple(_rowstats_norms(M_local)) if need_norms
@@ -834,8 +842,7 @@ def _fit_2d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
         out_specs=out_specs,
     )
     jit_kw = (
-        {"donate_argnums": _donate_argnums(constr, ct is not None)}
-        if donate else {}
+        {"donate_argnums": _donate_argnums(extra_names)} if donate else {}
     )
     out = jax.jit(sharded, **jit_kw)(M0, S, w_full, data_repl, count0, mu0,
                                      nu0, *extra_args)

@@ -207,3 +207,26 @@ def test_bf16_params_track_f32(rng):
         np.asarray(jax.nn.softmax(p32, axis=1)),
         atol=5e-2,
     )
+
+
+def test_bf16_params_with_validation(rng):
+    """Regression: val_metrics builds its marginal weight vector in f32 even
+    when M is stored bf16 — the Pallas stat blocks reject bf16 vector
+    operands, so bf16 storage + val_each used to crash at compile."""
+    lw = LossWeights(lambda_g1=1.0, lambda_d=1.0)
+    M0, data = make_problem(rng)
+    val_data = MapperData(S=data.S[:, :4], G=data.G[:, :4])
+    p16, h16 = fit_mapping(
+        M0, data, lw, 12, 0.1, impl="pallas", fused=True,
+        param_dtype="bfloat16", with_val=True, val_data=val_data, val_each=4,
+    )
+    vg = np.asarray(h16["val_gene_sim"], np.float32)
+    assert np.isfinite(vg[::4]).all()
+    # matches the f32-param validation history to storage tolerance
+    _, h32 = fit_mapping(
+        M0, data, lw, 12, 0.1, impl="pallas", fused=True,
+        with_val=True, val_data=val_data, val_each=4,
+    )
+    np.testing.assert_allclose(
+        vg[::4], np.asarray(h32["val_gene_sim"], np.float32)[::4], atol=3e-2
+    )
