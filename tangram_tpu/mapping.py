@@ -302,7 +302,11 @@ def map_cells_to_space(
     XLA for the hot step; ``init_method`` chooses the numpy-compatible or
     on-device PRNG init; ``graph_format='knn'`` keeps spot graphs in
     structured (s, k) form instead of dense s×s matrices for atlas scale;
-    ``mesh`` (a jax Mesh) shards the whole training over multiple chips.
+    ``mesh`` (a jax Mesh) shards the whole training over multiple chips;
+    ``learning_rate`` also accepts a per-epoch vector or callable (e.g.
+    ``tg.cosine_lr``); ``early_stop_tol``/``early_stop_window`` stop when a
+    window improves the best score by less than the tolerance (cells and
+    clusters modes).
     """
     lambda_d = _check_mapping_args(
         mode, lambda_g1, lambda_d, density_prior, cluster_label,
