@@ -281,3 +281,22 @@ def test_vector_lr_gspmd_sharded(rng):
         np.asarray(h_sh["total_loss"]), np.asarray(h_ref["total_loss"]),
         atol=5e-5,
     )
+
+def test_early_stop_with_schedule_prefix_matches(rng):
+    """Early stopping composes with a per-epoch schedule: the stopped run is
+    a bit-exact prefix of the uninterrupted scheduled trajectory."""
+    c, s, g = 20, 12, 8
+    S = (rng.poisson(2.0, (c, g)) + 0.5).astype(np.float32)
+    G = (rng.poisson(3.0, (s, g)) + 0.5).astype(np.float32)
+    lrs = cosine_lr(0.5, 600, end=0.01)
+    m = Mapper(S=S, G=G, random_state=9)
+    _, hist = m.train(num_epochs=600, learning_rate=lrs, print_each=None,
+                      early_stop_tol=1e-4, early_stop_window=50)
+    n_run = len(hist["main_loss"])
+    assert 0 < n_run < 600 and n_run % 50 == 0
+    m2 = Mapper(S=S, G=G, random_state=9)
+    _, hist_full = m2.train(num_epochs=n_run, learning_rate=lrs[:n_run],
+                            print_each=None)
+    np.testing.assert_allclose(
+        hist["main_loss"], hist_full["main_loss"], atol=1e-6
+    )
