@@ -335,3 +335,34 @@ def test_public_namespace_covers_reference_surface():
     assert not missing, f"tg lacks reference symbols: {missing}"
     undiscoverable = sorted(names - set(dir(tg)))
     assert not undiscoverable, f"dir(tg) misses: {undiscoverable}"
+
+
+def test_expression_init_improves_structured_mapping():
+    """init_method='expression' (extension: cosine-similarity logits) starts
+    near the similarity optimum on structured data and ends at least as high
+    as the N(0,1) init at the same budget."""
+    rng = np.random.default_rng(7)
+    n_types, g, spots_per_type = 4, 30, 6
+    programs = rng.lognormal(0.0, 1.0, (n_types, g)).astype(np.float32)
+    spot_types = np.repeat(np.arange(n_types), spots_per_type)
+    G = (programs[spot_types] * rng.gamma(5.0, 0.2, (len(spot_types), 1))
+         ).astype(np.float32)
+    cell_types = rng.integers(0, n_types, 60)
+    S = (programs[cell_types] * rng.gamma(5.0, 0.2, (len(cell_types), 1))
+         ).astype(np.float32)
+
+    from tangram_tpu.models.mapper import Mapper
+
+    m_expr = Mapper(S=S, G=G, init_method="expression")
+    _, h_expr = m_expr.train(num_epochs=60, learning_rate=0.1, print_each=None)
+    m_rand = Mapper(S=S, G=G, random_state=42)
+    _, h_rand = m_rand.train(num_epochs=60, learning_rate=0.1, print_each=None)
+
+    assert h_expr["main_loss"][0] > h_rand["main_loss"][0] + 0.05
+    assert h_expr["main_loss"][-1] >= h_rand["main_loss"][-1] - 1e-3
+
+    # unknown init methods fail loudly everywhere
+    with pytest.raises(ValueError, match="unknown init method"):
+        from tangram_tpu.models.mapper import init_logits
+
+        init_logits(4, 4, method="bogus")
