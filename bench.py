@@ -215,6 +215,26 @@ def main():
                     ),
                 )
 
+            # --- best config: tuned schedule + expression init (both
+            # opt-in extensions) — the quality ceiling at the same budget
+            from tangram_tpu.models.mapper import expression_init_logits
+
+            M_expr = expression_init_logits(data.S, data.G, scale=10.0)
+            b_el, b_main = timed_fit(
+                M_expr, data, lw, 200, learning_rate=sched, **kwargs
+            )
+            b_reached = np.nonzero(b_main >= target)[0]
+            result["tuned_lr_expression_init"] = {
+                "final_train_score": round(float(b_main[-1]), 4),
+                "score_gain_vs_reference": round(
+                    float(b_main[-1]) - final_score, 4
+                ),
+                "seconds_to_reference_parity": (
+                    round(int(b_reached[0]) * (b_el / 200), 3)
+                    if len(b_reached) else None
+                ),
+            }
+
             del M0, data
             gc.collect()
 

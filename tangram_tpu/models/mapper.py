@@ -525,7 +525,21 @@ class Mapper:
             # Same Adam budget converges to a better optimum than N(0,1)
             # (measured +0.01 final gene-voxel score on the tutorial shape);
             # N(0,1) (the reference contract) stays the default.
-            self.M = expression_init_logits(S_train, G_train)
+            if self.mesh is not None:
+                # emit M already sharded over the mesh: at atlas scale the
+                # full matrix doesn't fit on any single chip
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                spec = PartitionSpec(
+                    "cell" if "cell" in self.mesh.axis_names else None,
+                    "spot" if "spot" in self.mesh.axis_names else None,
+                )
+                self.M = jax.jit(
+                    expression_init_logits,
+                    out_shardings=NamedSharding(self.mesh, spec),
+                )(S_train, G_train)
+            else:
+                self.M = expression_init_logits(S_train, G_train)
         else:
             if init_method == "auto":
                 init_method = "numpy" if n_cells * n_spots < (1 << 30) else "jax"
