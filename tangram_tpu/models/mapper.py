@@ -884,6 +884,11 @@ class MapperConstrained:
                 init_method = "numpy" if n_cells * n_spots < (1 << 30) else "jax"
             # F still random; mirror the reference's F ~ N(0,1) (:490)
             self.F = init_logits(1, n_cells, random_state, init_method)[0]
+        elif init_method == "expression":
+            # data-driven M init (see Mapper); F keeps the reference's
+            # N(0,1) draw so the learned filter starts unbiased
+            self.M = expression_init_logits(self.S, self.G)
+            self.F = init_logits(1, n_cells, random_state, "auto")[0]
         else:
             self.M, self.F = init_constrained_logits(
                 n_cells, n_spots, random_state, init_method

@@ -366,3 +366,18 @@ def test_expression_init_improves_structured_mapping():
         from tangram_tpu.models.mapper import init_logits
 
         init_logits(4, 4, method="bogus")
+
+
+def test_expression_init_constrained_mode():
+    """init_method='expression' works in constrained mode too (M from the
+    cosine init, F from the reference's N(0,1) stream)."""
+    rng = np.random.default_rng(3)
+    S = (rng.poisson(2.0, (20, 10)) + 0.5).astype(np.float32)
+    G = (rng.poisson(3.0, (12, 10)) + 0.5).astype(np.float32)
+    from tangram_tpu.models.mapper import MapperConstrained
+
+    m = MapperConstrained(S=S, G=G, d=np.full(12, 1 / 12, np.float32),
+                          target_count=12, init_method="expression")
+    out, F, hist = m.train(num_epochs=15, learning_rate=0.1, print_each=None)
+    assert np.isfinite(out).all() and np.isfinite(F).all()
+    np.testing.assert_allclose(np.asarray(out).sum(1), 1.0, atol=1e-4)
