@@ -219,7 +219,9 @@ def main():
             # opt-in extensions) — the quality ceiling at the same budget
             from tangram_tpu.models.mapper import expression_init_logits
 
-            M_expr = expression_init_logits(data.S, data.G, scale=10.0)
+            # the API default scale — this number must be reproducible via
+            # Mapper(init_method='expression')
+            M_expr = expression_init_logits(data.S, data.G)
             b_el, b_main = timed_fit(
                 M_expr, data, lw, 200, learning_rate=sched, **kwargs
             )

@@ -121,6 +121,32 @@ def expression_init_logits(S, G, scale=4.0, dtype=jnp.float32):
     return scale * (Sn @ Gn.T)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_expression_init(mesh, spec):
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    return jax.jit(
+        expression_init_logits,
+        out_shardings=NamedSharding(mesh, PartitionSpec(*spec)),
+    )
+
+
+def sharded_expression_init(S, G, mesh=None):
+    """:func:`expression_init_logits`, emitted pre-sharded over ``mesh`` when
+    one is given — at atlas scale the full logits never materialize on a
+    single chip. The jitted initializer is cached per (mesh, layout)."""
+    if mesh is None:
+        return expression_init_logits(S, G)
+    spec = (
+        "cell" if "cell" in mesh.axis_names else None,
+        "spot" if "spot" in mesh.axis_names else None,
+    )
+    return _jitted_expression_init(mesh, spec)(S, G)
+
+
 def init_constrained_logits(
     n_cells: int,
     n_spots: int,
@@ -142,6 +168,11 @@ def init_constrained_logits(
         M = jnp.asarray(np.random.normal(0, 1, (n_cells, n_spots)), jnp.float32)
         F = jnp.asarray(np.random.normal(0, 1, n_cells), jnp.float32)
         return M, F
+    if method != "jax":
+        raise ValueError(
+            f"unknown init method {method!r}; expected 'auto', 'numpy' or "
+            "'jax' ('expression' is resolved by MapperConstrained itself)"
+        )
     key = jax.random.PRNGKey(0 if random_state is None else int(random_state))
     km, kf = jax.random.split(key)
     return (
@@ -521,25 +552,13 @@ class Mapper:
         elif init_method == "expression":
             # Extension: data-driven init. Logits start at a scaled cosine
             # similarity between each cell's and each spot's expression over
-            # the training genes — one (c × g)·(g × s) matmul on device.
-            # Same Adam budget converges to a better optimum than N(0,1)
-            # (measured +0.01 final gene-voxel score on the tutorial shape);
-            # N(0,1) (the reference contract) stays the default.
-            if self.mesh is not None:
-                # emit M already sharded over the mesh: at atlas scale the
-                # full matrix doesn't fit on any single chip
-                from jax.sharding import NamedSharding, PartitionSpec
-
-                spec = PartitionSpec(
-                    "cell" if "cell" in self.mesh.axis_names else None,
-                    "spot" if "spot" in self.mesh.axis_names else None,
-                )
-                self.M = jax.jit(
-                    expression_init_logits,
-                    out_shardings=NamedSharding(self.mesh, spec),
-                )(S_train, G_train)
-            else:
-                self.M = expression_init_logits(S_train, G_train)
+            # the training genes — one (c × g)·(g × s) matmul on device,
+            # sharded over the mesh when one is set. Same Adam budget
+            # converges to a better optimum than N(0,1) (measured +0.01
+            # final gene-voxel score on the tutorial shape); N(0,1) (the
+            # reference contract) stays the default. With adata_map, the
+            # warm start wins over this request (see branch above).
+            self.M = sharded_expression_init(S_train, G_train, self.mesh)
         else:
             if init_method == "auto":
                 init_method = "numpy" if n_cells * n_spots < (1 << 30) else "jax"
@@ -880,14 +899,17 @@ class MapperConstrained:
         if adata_map is not None:
             P0 = np.asarray(adata_map.X, dtype=np.float32)
             self.M = jnp.asarray(np.log(np.clip(P0, 1e-12, None)))
-            if init_method == "auto":
+            if init_method in ("auto", "expression"):
+                # warm start wins over the expression request (same
+                # precedence as Mapper); F needs only a draw method
                 init_method = "numpy" if n_cells * n_spots < (1 << 30) else "jax"
             # F still random; mirror the reference's F ~ N(0,1) (:490)
             self.F = init_logits(1, n_cells, random_state, init_method)[0]
         elif init_method == "expression":
-            # data-driven M init (see Mapper); F keeps the reference's
-            # N(0,1) draw so the learned filter starts unbiased
-            self.M = expression_init_logits(self.S, self.G)
+            # data-driven M init (see Mapper), sharded over the mesh when
+            # set; F keeps the reference's N(0,1) draw so the learned
+            # filter starts unbiased
+            self.M = sharded_expression_init(self.S, self.G, self.mesh)
             self.F = init_logits(1, n_cells, random_state, "auto")[0]
         else:
             self.M, self.F = init_constrained_logits(

@@ -14,7 +14,15 @@ training score an order of magnitude sooner (see ``bench.py``'s
 
 import numpy as np
 
-__all__ = ["cosine_lr", "resolve_lr"]
+__all__ = ["cosine_lr", "cosine_value", "resolve_lr"]
+
+
+def cosine_value(t, peak, end, decay_len, xp=np):
+    """Cosine-decay value at epoch ``t`` (no warmup): the single source of
+    the decay formula shared by :func:`cosine_lr` (vectorized, numpy) and
+    the tuner's traced per-step schedule (``xp=jax.numpy``)."""
+    phase = xp.clip(t / decay_len, 0.0, 1.0)
+    return end + (peak - end) * 0.5 * (1.0 + xp.cos(xp.pi * phase))
 
 
 def cosine_lr(peak, num_epochs, end=0.0, warmup=0):
@@ -36,8 +44,7 @@ def cosine_lr(peak, num_epochs, end=0.0, warmup=0):
     else:
         ramp = np.full_like(t, peak)
     decay_len = max(num_epochs - warmup, 1)
-    phase = np.clip((t - warmup) / decay_len, 0.0, 1.0)
-    decay = end + (peak - end) * 0.5 * (1.0 + np.cos(np.pi * phase))
+    decay = cosine_value(t - warmup, peak, end, decay_len)
     return np.where(t < warmup, ramp, decay).astype(np.float32)
 
 

@@ -320,9 +320,9 @@ def _run_population(
 
         def step(carry, t):
             M, opt_state = carry
-            lr_t = lr_end + (lr_peak - lr_end) * 0.5 * (
-                1.0 + jnp.cos(jnp.pi * t / num_epochs)
-            )
+            from .ops.schedules import cosine_value
+
+            lr_t = cosine_value(t, lr_peak, lr_end, num_epochs, xp=jnp)
             grads = jax.grad(lambda m: _tuner_loss(m, lam, data_arrays)[0])(M)
             updates, opt_state = optimizer.update(grads, opt_state, M)
             updates = jax.tree.map(lambda u: u * lr_t, updates)

@@ -300,3 +300,14 @@ def test_early_stop_with_schedule_prefix_matches(rng):
     np.testing.assert_allclose(
         hist["main_loss"], hist_full["main_loss"], atol=1e-6
     )
+
+def test_tuner_cosine_matches_cosine_lr():
+    """The tuner's traced per-step schedule and tg.cosine_lr share one
+    formula: values agree at every epoch."""
+    from tangram_tpu.ops.schedules import cosine_value
+
+    peak, end, n = 0.7, 0.05, 37
+    vec = cosine_lr(peak, n, end=end)
+    at = np.array([cosine_value(float(t), peak, end, n) for t in range(n)],
+                  np.float32)
+    np.testing.assert_allclose(vec, at, rtol=1e-6)
