@@ -381,3 +381,45 @@ def test_expression_init_constrained_mode():
     out, F, hist = m.train(num_epochs=15, learning_rate=0.1, print_each=None)
     assert np.isfinite(out).all() and np.isfinite(F).all()
     np.testing.assert_allclose(np.asarray(out).sum(1), 1.0, atol=1e-4)
+
+
+@pytest.mark.parametrize("mode,extra", [
+    ("cells", {}),
+    ("clusters", {"cluster_label": "subclass"}),
+    ("constrained", {"target_count": 12, "density_prior": "uniform"}),
+])
+@pytest.mark.parametrize("knobs", [
+    dict(impl="xla"),
+    dict(impl="pallas"),
+    dict(init_method="expression"),
+    dict(graph_format="knn", lambda_neighborhood_g1=0.5),
+])
+def test_feature_interaction_matrix(mode, extra, knobs):
+    """Feature-interaction smoke: every mode × (impl / expression init /
+    knn graphs / schedule) combination maps end-to-end with a row-stochastic
+    result and finite history."""
+    rng = np.random.default_rng(5)
+    c, s, g = 24, 16, 12
+    genes = [f"g{i}" for i in range(g)]
+    ad_sc = tg.AnnData(
+        X=(rng.poisson(2.0, (c, g)) + 0.5).astype(np.float32),
+        obs=pd.DataFrame({"subclass": rng.choice(["a", "b"], c)},
+                         index=[f"c{i}" for i in range(c)]),
+        var=pd.DataFrame(index=genes),
+    )
+    ad_sp = tg.AnnData(
+        X=(rng.poisson(3.0, (s, g)) + 0.5).astype(np.float32),
+        var=pd.DataFrame(index=genes),
+    )
+    ad_sp.obsm["spatial"] = rng.random((s, 2)) * 10
+    tg.pp_adatas(ad_sc, ad_sp)
+
+    lrs = tg.cosine_lr(0.3, 20, end=0.03)
+    ad_map = tg.map_cells_to_space(
+        ad_sc, ad_sp, mode=mode, num_epochs=20, learning_rate=lrs,
+        random_state=1, verbose=False, **extra, **knobs,
+    )
+    X = np.asarray(ad_map.X)
+    np.testing.assert_allclose(X.sum(1), 1.0, atol=1e-4)
+    hist = np.asarray(ad_map.uns["training_history"]["main_loss"])
+    assert np.isfinite(hist).all() and len(hist) == 20
