@@ -423,3 +423,13 @@ def test_feature_interaction_matrix(mode, extra, knobs):
     np.testing.assert_allclose(X.sum(1), 1.0, atol=1e-4)
     hist = np.asarray(ad_map.uns["training_history"]["main_loss"])
     assert np.isfinite(hist).all() and len(hist) == 20
+
+
+def test_version_consistency():
+    """pyproject and the package report the same version."""
+    import re
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    text = open(os.path.join(root, "pyproject.toml")).read()
+    pyproject_version = re.search(r'^version = "([^"]+)"', text, re.M).group(1)
+    assert tg.__version__ == pyproject_version
