@@ -1,0 +1,105 @@
+"""Extended randomized fuzz of the execution paths (a tool, not a CI test —
+the CI suite carries seeded versions; run this for a deeper sweep).
+
+Random shapes, loss configs, schedules, and modes through:
+  single-device XLA  vs  fused Pallas  vs  fused sharded (1-D / 2-D mesh)
+hunting numeric divergence. Usage:
+
+    python scripts/fuzz_paths.py [seed] [n_trials]
+
+Runs on the virtual 8-device CPU mesh; exits nonzero on any divergence.
+"""
+import os
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from tangram_tpu.models.mapper import fit_mapping
+from tangram_tpu.ops.losses import LossWeights, MapperData
+from tangram_tpu.parallel import fit_mapping_fused_sharded
+
+
+def run(seed: int, n_trials: int) -> int:
+    rng = np.random.default_rng(seed)
+    fails = 0
+    for trial in range(n_trials):
+        c = int(rng.integers(9, 70))
+        s = int(rng.integers(8, 50))
+        g = int(rng.integers(4, 20))
+        constrained = bool(rng.integers(0, 2))
+        S = (rng.gamma(2.0, 1.0, (c, g)) + 0.05).astype(np.float32)
+        G = (rng.gamma(3.0, 1.0, (s, g)) + 0.05).astype(np.float32)
+        d = rng.random(s).astype(np.float32)
+        d /= d.sum()
+        M0 = rng.normal(0, 1, (c, s)).astype(np.float32)
+        if constrained:
+            lw = LossWeights(
+                lambda_g1=float(rng.uniform(0.3, 2.0)),
+                lambda_d=1.0,
+                lambda_r=float(rng.choice([0.0, rng.uniform(0, 1e-2)])),
+                lambda_count=float(rng.uniform(0.2, 2.0)),
+                lambda_f_reg=float(rng.uniform(0.2, 2.0)),
+            )
+            data = MapperData(
+                S=jnp.asarray(S), G=jnp.asarray(G), d=jnp.asarray(d),
+                target_count=jnp.float32(float(rng.integers(s // 2, 2 * s))),
+            )
+            F0 = rng.normal(0, 1, (c,)).astype(np.float32)
+            params0 = (jnp.asarray(M0), jnp.asarray(F0))
+        else:
+            lw = LossWeights(
+                lambda_g1=float(rng.uniform(0.3, 2.0)),
+                lambda_d=float(rng.choice([0.0, 1.0])),
+                lambda_g2=float(rng.choice([0.0, rng.uniform(0, 1)])),
+                lambda_r=float(rng.choice([0.0, rng.uniform(0, 1e-2)])),
+                lambda_l1=float(rng.choice([0.0, rng.uniform(0, 1e-2)])),
+                lambda_l2=float(rng.choice([0.0, rng.uniform(0, 1e-3)])),
+            )
+            data = MapperData(S=jnp.asarray(S), G=jnp.asarray(G),
+                              d=jnp.asarray(d) if lw.lambda_d else None)
+            params0 = jnp.asarray(M0)
+
+        epochs = int(rng.integers(3, 25))
+        lr = (np.linspace(0.3, 0.02, epochs).astype(np.float32)
+              if rng.integers(0, 2) else float(rng.uniform(0.02, 0.5)))
+
+        p_x, _ = fit_mapping(params0, data, lw, epochs, lr, impl="xla",
+                             constrained=constrained)
+        p_p, _ = fit_mapping(params0, data, lw, epochs, lr, impl="pallas",
+                             fused=True, constrained=constrained)
+        if rng.choice(["1d", "2d"]) == "1d":
+            mesh = Mesh(np.asarray(jax.devices()), ("cell",))
+        else:
+            mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
+                        ("cell", "spot"))
+        raw0 = (M0, np.asarray(params0[1])) if constrained else M0
+        p_s, _ = fit_mapping_fused_sharded(raw0, data, lw, epochs, lr,
+                                           mesh=mesh)
+
+        ok = True
+        pairs = [("pallas-vs-xla", p_p, p_x), ("sharded-vs-pallas", p_s, p_p)]
+        for name, a, b in pairs:
+            for leaf_a, leaf_b in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+                diff = float(np.max(np.abs(np.asarray(leaf_a) - np.asarray(leaf_b))))
+                if not np.isfinite(diff) or diff > 2e-3:
+                    print(f"trial {trial}: {name} max|d|={diff:.2e} c={c} "
+                          f"s={s} g={g} ep={epochs} constrained={constrained} "
+                          f"lw={lw}")
+                    ok = False
+        fails += 0 if ok else 1
+    print(f"{n_trials} trials, {fails} failures", flush=True)
+    return fails
+
+
+if __name__ == "__main__":
+    seed = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    sys.exit(1 if run(seed, n) else 0)

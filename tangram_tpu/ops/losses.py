@@ -332,7 +332,8 @@ def compute_constrained_loss(params, data: MapperData, lw: LossWeights, impl: st
     return constrained_epilogue(Y, q, jnp.sum(h), F, data, lw)
 
 
-def constrained_epilogue(Y, q, h_sum, F, data: MapperData, lw: LossWeights, axis=None):
+def constrained_epilogue(Y, q, h_sum, F, data: MapperData, lw: LossWeights,
+                         axis=None, f_sums=None):
     """Constrained-loss tail, downstream of the fused core.
 
     Takes the projection ``Y = Pᵀ(S ⊙ σ(F))``, the filtered marginal
@@ -342,19 +343,32 @@ def constrained_epilogue(Y, q, h_sum, F, data: MapperData, lw: LossWeights, axis
     direct part of dF); F's indirect gradient through A and q is reconstructed
     from the streamed rbar pass (see ``ops/fused_step.py``).
 
-    Under ``shard_map`` with F sharded over mesh axis ``axis``, the F
-    reductions (count target, Boolean-ness penalty, density denominator)
-    become psums so every shard sees the global loss.
+    Under ``shard_map`` the sharded steps pass ``f_sums = (Σ σ(F),
+    Σ σ(F)−σ(F)²)`` — the two F reductions, psummed OUTSIDE this function —
+    and ``F=None``; differentiating through this epilogue then never crosses
+    a collective (the shard_map psum transpose under ``check_vma=False`` is
+    not the true adjoint, which silently corrupts dF — caught by
+    scripts/fuzz_paths.py), and the caller rebuilds the direct F gradient
+    from the returned ``(ds1, ds2)`` scalar cotangents by the chain rule.
+    ``axis`` keeps the legacy in-vjp psum behavior for non-differentiated
+    (forward-only) use.
     """
-    F_probs = jax.nn.sigmoid(F)
     G, mask = data.G, data.gene_mask
     if mask is not None:
         G = G * mask[None, :]
     G_pred = Y
 
-    def fsum(x):
-        local = jnp.sum(x)
-        return jax.lax.psum(local, axis) if axis is not None else local
+    if f_sums is not None:
+        sum_F_probs, sum_f_reg = f_sums
+    else:
+        F_probs = jax.nn.sigmoid(F)
+
+        def fsum(x):
+            local = jnp.sum(x)
+            return jax.lax.psum(local, axis) if axis is not None else local
+
+        sum_F_probs = fsum(F_probs)
+        sum_f_reg = fsum(F_probs - F_probs * F_probs)
 
     terms = {}
 
@@ -368,7 +382,7 @@ def constrained_epilogue(Y, q, h_sum, F, data: MapperData, lw: LossWeights, axis
 
     if data.d is not None:
         # filtered marginal: (P ⊙ F).sum(cells) == F @ P == q  (:512-514)
-        d_pred = jnp.log(q / fsum(F_probs))
+        d_pred = jnp.log(q / sum_F_probs)
         density_term = lw.lambda_d * kl_div_sum(d_pred, data.d)
         terms["kl_reg"] = density_term / lw.lambda_d if lw.lambda_d != 0 else jnp.float32(jnp.nan)
     else:
@@ -383,12 +397,12 @@ def constrained_epilogue(Y, q, h_sum, F, data: MapperData, lw: LossWeights, axis
         entropy_term / lw.lambda_r if lw.lambda_r != 0 else jnp.float32(jnp.nan)
     )
 
-    count_term = lw.lambda_count * jnp.abs(fsum(F_probs) - data.target_count)
+    count_term = lw.lambda_count * jnp.abs(sum_F_probs - data.target_count)
     terms["count_reg"] = (
         count_term / lw.lambda_count if lw.lambda_count != 0 else jnp.float32(jnp.nan)
     )
 
-    f_reg = lw.lambda_f_reg * fsum(F_probs - F_probs * F_probs)
+    f_reg = lw.lambda_f_reg * sum_f_reg
     terms["lambda_f_reg"] = (
         f_reg / lw.lambda_f_reg if lw.lambda_f_reg != 0 else jnp.float32(jnp.nan)
     )

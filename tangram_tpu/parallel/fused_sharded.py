@@ -149,12 +149,29 @@ def _cell_step_unconstrained(M, count, mu, nu, stats, S_local, ct_local,
     return (M_new, count_new, mu_new, nu_new, tuple(out[3:])), terms
 
 
+def _constrained_f_sums(w_raw, cvalid, axis):
+    """Global ``(Σ σ(F), Σ σ(F)−σ(F)²)`` over real cells — psummed OUTSIDE
+    the epilogue vjp (the shard_map psum transpose is not the true adjoint;
+    differentiating through an in-vjp psum corrupts dF)."""
+    s1 = jax.lax.psum(jnp.sum(w_raw * cvalid), axis)
+    s2 = jax.lax.psum(jnp.sum((w_raw - w_raw * w_raw) * cvalid), axis)
+    return s1, s2
+
+
+def _constrained_dF_direct(w_raw, cvalid, ds1, ds2):
+    """Chain rule back through the F reductions: d/dF of
+    ``ds1·Σσ(F) + ds2·Σ(σ(F)−σ(F)²)`` per local entry."""
+    sig_grad = w_raw * (1.0 - w_raw) * cvalid
+    return ds1 * sig_grad + ds2 * (1.0 - 2.0 * w_raw) * sig_grad
+
+
 def _cell_step_constrained(M, F, count, mu, nu, muF, nuF, stats, S_local,
                            cvalid, data, lw, learning_rate, compute_dtype,
                            axis):
     from ..ops.fused_step import _adam_vector, _dm_adam, _pad_k, _project, _rbar
 
-    w = jax.nn.sigmoid(F) * cvalid
+    w_raw = jax.nn.sigmoid(F)
+    w = w_raw * cvalid
     mask = data.gene_mask
     S_eff = S_local if mask is None else S_local * mask[None, :]
     A = S_eff * w[:, None]
@@ -167,14 +184,16 @@ def _cell_step_constrained(M, F, count, mu, nu, muF, nuF, stats, S_local,
     q = jax.lax.psum(q_partial, axis)
     h = (u[:, 0] / l[:, 0]) - m[:, 0] - jnp.log(l[:, 0])
     h_sum = jax.lax.psum(jnp.sum(h * cvalid), axis)
+    s1, s2 = _constrained_f_sums(w_raw, cvalid, axis)
 
-    def epilogue(Y, qq, hs, FF):
-        return constrained_epilogue(Y, qq, hs, FF, data, lw, axis=axis)
+    def epilogue(Y, qq, hs, a, b):
+        return constrained_epilogue(Y, qq, hs, None, data, lw, f_sums=(a, b))
 
     total, vjp, terms = jax.vjp(
-        epilogue, Y[:, :k_real], q, h_sum, F, has_aux=True
+        epilogue, Y[:, :k_real], q, h_sum, s1, s2, has_aux=True
     )
-    dY, dq, dhs, dF_direct = vjp(jnp.ones_like(total))
+    dY, dq, dhs, ds1, ds2 = vjp(jnp.ones_like(total))
+    dF_direct = _constrained_dF_direct(w_raw, cvalid, ds1, ds2)
     dY_p = _pad_k(dY).astype(compute_dtype)
     dh_local = jnp.broadcast_to(dhs, (M.shape[0],)) * cvalid
 
@@ -235,7 +254,8 @@ def _grid_step(M, F, count, mu, nu, muF, nuF, stats_l, S_local, ct_local,
     mask = data_repl.gene_mask
     S_eff = S_local if mask is None else S_local * mask[None, :]
     if constrained:
-        w = jax.nn.sigmoid(F) * cvalid
+        w_raw = jax.nn.sigmoid(F)
+        w = w_raw * cvalid
         A = S_eff * w[:, None]
     else:
         w = w_local
@@ -267,13 +287,18 @@ def _grid_step(M, F, count, mu, nu, muF, nuF, stats_l, S_local, ct_local,
     h_sum = jax.lax.psum(jnp.sum(h * cvalid), "cell")
 
     if constrained:
-        def epi(Yf, qf, hs, F_l):
+        s1, s2 = _constrained_f_sums(w_raw, cvalid, "cell")
+
+        def epi(Yf, qf, hs, a, b):
             return constrained_epilogue(
-                Yf[:, :k_real], qf, hs, F_l, data_repl, lw, axis="cell"
+                Yf[:, :k_real], qf, hs, None, data_repl, lw, f_sums=(a, b)
             )
 
-        total, vjp, terms = jax.vjp(epi, Y_full, q_full, h_sum, F, has_aux=True)
-        dY_full, dq_full, dhs, dF_direct = vjp(jnp.ones_like(total))
+        total, vjp, terms = jax.vjp(
+            epi, Y_full, q_full, h_sum, s1, s2, has_aux=True
+        )
+        dY_full, dq_full, dhs, ds1, ds2 = vjp(jnp.ones_like(total))
+        dF_direct = _constrained_dF_direct(w_raw, cvalid, ds1, ds2)
     else:
         def epi(Yf, qf, h1):
             return unconstrained_epilogue(

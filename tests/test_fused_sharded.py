@@ -626,3 +626,38 @@ def test_donated_run_matches(rng, mesh_kind):
     )
     np.testing.assert_allclose(np.asarray(Md), np.asarray(Mr), atol=1e-6)
     np.testing.assert_allclose(np.asarray(Fd), np.asarray(Fr), atol=1e-6)
+
+
+@pytest.mark.parametrize("mesh_kind", ["1d", "2d"])
+def test_constrained_sharded_nonunit_lambdas(rng, mesh_kind):
+    """Regression: the direct F gradient through the count/f_reg/density
+    reductions must be exact on the sharded paths. The epilogue's F psums
+    used to sit inside the vjp, where shard_map's psum transpose (under
+    check_vma=False) is not the true adjoint — with non-unit lambda_count
+    plus a density prior (and worse with cell padding), F silently diverged
+    by O(1) within a few epochs (found by scripts/fuzz_paths.py)."""
+    c, s, g = 9, 42, 15  # c=9 on 8 shards: heavy cell padding
+    S = (rng.gamma(2.0, 1.0, (c, g)) + 0.05).astype(np.float32)
+    G = (rng.gamma(3.0, 1.0, (s, g)) + 0.05).astype(np.float32)
+    d = rng.random(s).astype(np.float32)
+    d /= d.sum()
+    M0 = rng.normal(0, 1, (c, s)).astype(np.float32)
+    F0 = rng.normal(0, 1, (c,)).astype(np.float32)
+    lw = LossWeights(lambda_g1=0.515, lambda_d=1.0, lambda_r=2.3e-4,
+                     lambda_count=0.265, lambda_f_reg=1.032)
+    data = MapperData(S=jnp.asarray(S), G=jnp.asarray(G), d=jnp.asarray(d),
+                      target_count=jnp.float32(30.0))
+    (Mx, Fx), hx = fit_mapping((jnp.asarray(M0), jnp.asarray(F0)), data, lw,
+                               8, 0.1, impl="xla", constrained=True)
+    if mesh_kind == "1d":
+        mesh = cell_mesh(8)
+    else:
+        mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
+                    axis_names=("cell", "spot"))
+    (Ms, Fs), hs = fit_mapping_fused_sharded((M0, F0), data, lw, 8, 0.1,
+                                             mesh=mesh)
+    np.testing.assert_allclose(np.asarray(Fs), np.asarray(Fx), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(Ms), np.asarray(Mx), atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(hs["total_loss"]), np.asarray(hx["total_loss"]), atol=5e-5
+    )
