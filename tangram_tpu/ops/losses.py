@@ -333,7 +333,7 @@ def compute_constrained_loss(params, data: MapperData, lw: LossWeights, impl: st
 
 
 def constrained_epilogue(Y, q, h_sum, F, data: MapperData, lw: LossWeights,
-                         axis=None, f_sums=None):
+                         f_sums=None):
     """Constrained-loss tail, downstream of the fused core.
 
     Takes the projection ``Y = Pᵀ(S ⊙ σ(F))``, the filtered marginal
@@ -350,8 +350,6 @@ def constrained_epilogue(Y, q, h_sum, F, data: MapperData, lw: LossWeights,
     not the true adjoint, which silently corrupts dF — caught by
     scripts/fuzz_paths.py), and the caller rebuilds the direct F gradient
     from the returned ``(ds1, ds2)`` scalar cotangents by the chain rule.
-    ``axis`` keeps the legacy in-vjp psum behavior for non-differentiated
-    (forward-only) use.
     """
     G, mask = data.G, data.gene_mask
     if mask is not None:
@@ -362,13 +360,8 @@ def constrained_epilogue(Y, q, h_sum, F, data: MapperData, lw: LossWeights,
         sum_F_probs, sum_f_reg = f_sums
     else:
         F_probs = jax.nn.sigmoid(F)
-
-        def fsum(x):
-            local = jnp.sum(x)
-            return jax.lax.psum(local, axis) if axis is not None else local
-
-        sum_F_probs = fsum(F_probs)
-        sum_f_reg = fsum(F_probs - F_probs * F_probs)
+        sum_F_probs = jnp.sum(F_probs)
+        sum_f_reg = jnp.sum(F_probs - F_probs * F_probs)
 
     terms = {}
 
