@@ -71,29 +71,47 @@ def run(seed: int, n_trials: int) -> int:
         lr = (np.linspace(0.3, 0.02, epochs).astype(np.float32)
               if rng.integers(0, 2) else float(rng.uniform(0.02, 0.5)))
 
-        p_x, _ = fit_mapping(params0, data, lw, epochs, lr, impl="xla",
-                             constrained=constrained)
-        p_p, _ = fit_mapping(params0, data, lw, epochs, lr, impl="pallas",
-                             fused=True, constrained=constrained)
+        p_x, h_x = fit_mapping(params0, data, lw, epochs, lr, impl="xla",
+                               constrained=constrained)
+        p_p, h_p = fit_mapping(params0, data, lw, epochs, lr, impl="pallas",
+                               fused=True, constrained=constrained)
         if rng.choice(["1d", "2d"]) == "1d":
             mesh = Mesh(np.asarray(jax.devices()), ("cell",))
         else:
             mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
                         ("cell", "spot"))
         raw0 = (M0, np.asarray(params0[1])) if constrained else M0
-        p_s, _ = fit_mapping_fused_sharded(raw0, data, lw, epochs, lr,
-                                           mesh=mesh)
+        p_s, h_s = fit_mapping_fused_sharded(raw0, data, lw, epochs, lr,
+                                             mesh=mesh)
 
+        # Param tolerance is lr-aware: Adam's first step is ~lr*g/(|g|+eps),
+        # so entries whose true gradient is near zero amplify benign
+        # reduction-order noise into O(lr*1e-2) param differences. The loss
+        # history is the stable discriminator and gets a tight bound.
+        lr_max = float(np.max(lr))
+        param_tol = 2e-3 + 0.02 * lr_max
         ok = True
         pairs = [("pallas-vs-xla", p_p, p_x), ("sharded-vs-pallas", p_s, p_p)]
         for name, a, b in pairs:
             for leaf_a, leaf_b in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
                 diff = float(np.max(np.abs(np.asarray(leaf_a) - np.asarray(leaf_b))))
-                if not np.isfinite(diff) or diff > 2e-3:
-                    print(f"trial {trial}: {name} max|d|={diff:.2e} c={c} "
-                          f"s={s} g={g} ep={epochs} constrained={constrained} "
+                if not np.isfinite(diff) or diff > param_tol:
+                    tc = (float(data.target_count) if constrained else None)
+                    print(f"trial {trial}: {name} max|d|={diff:.2e} "
+                          f"(tol {param_tol:.1e}) c={c} s={s} g={g} "
+                          f"ep={epochs} mesh={mesh.axis_names} "
+                          f"constrained={constrained} target={tc} "
+                          f"lr={'vec' if np.ndim(lr) else round(float(lr), 4)} "
                           f"lw={lw}")
                     ok = False
+        for name, ha, hb in [("loss pallas-vs-xla", h_p, h_x),
+                             ("loss sharded-vs-pallas", h_s, h_p)]:
+            dl = float(np.max(np.abs(np.asarray(ha["total_loss"]) -
+                                     np.asarray(hb["total_loss"]))))
+            if not np.isfinite(dl) or dl > 1e-3:
+                print(f"trial {trial}: {name} max|dloss|={dl:.2e} c={c} "
+                      f"s={s} g={g} ep={epochs} constrained={constrained}")
+                ok = False
         fails += 0 if ok else 1
     print(f"{n_trials} trials, {fails} failures", flush=True)
     return fails
