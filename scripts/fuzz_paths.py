@@ -67,6 +67,13 @@ def run(seed: int, n_trials: int) -> int:
                               d=jnp.asarray(d) if lw.lambda_d else None)
             params0 = jnp.asarray(M0)
 
+        if rng.integers(0, 2):
+            # CV-fold-style gene masking: exercises the masked reductions
+            gm = (rng.random(g) < 0.7).astype(np.float32)
+            if gm.sum() == 0:
+                gm[0] = 1.0
+            data = data._replace(gene_mask=jnp.asarray(gm))
+
         epochs = int(rng.integers(3, 25))
         lr = (np.linspace(0.3, 0.02, epochs).astype(np.float32)
               if rng.integers(0, 2) else float(rng.uniform(0.02, 0.5)))
