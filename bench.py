@@ -174,6 +174,10 @@ def main():
         "vs_baseline": round(BASELINE_SECONDS / (elapsed * scale), 2),
         "backend": backend,
         "projected": not on_tpu,
+        # Timings are shape-determined; the *score* values below are
+        # properties of this synthetic draw, not of the real MOp dataset the
+        # reference's published claims use.
+        "data": "synthetic-poisson",
         "raw_seconds": round(elapsed, 3),
         "epochs_per_s": round(epochs / elapsed, 2),
         "final_train_score": round(final_score, 4),

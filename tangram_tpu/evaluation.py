@@ -454,9 +454,13 @@ def _cross_val_batched(
     n_cells, n_spots = S.shape[0], G.shape[0]
     if fold_batch_size == "auto":
         # each batched fold holds its own (cells × spots) logits + two Adam
-        # moment buffers in f32; budget ~half of a 16 GB chip for them
+        # moment buffers in f32; budget ~half the device's reported capacity
+        # for them (falls back to 8 GB TPU / 2 GB CPU when the backend
+        # reports no memory stats)
+        from .utils import device_memory_budget
+
         per_fold_bytes = n_cells * n_spots * 12
-        budget = 8e9 if jax.default_backend() == "tpu" else 2e9
+        budget = device_memory_budget()
         fold_batch_size = int(
             np.clip(budget // max(per_fold_bytes, 1), 1, 256)
         )
@@ -484,10 +488,15 @@ def _cross_val_batched(
             target_count=tc_dev,
         )
         in_axes = (None, MapperData(S=None, G=None, gene_mask=0))
+        # impl pinned to XLA: batching a custom_vjp-wrapped pallas_call under
+        # vmap is a path no test exercises, and XLA batches the per-fold
+        # matmuls onto the MXU just as well — the Pallas kernels exist to
+        # stream a SINGLE atlas-scale problem, while vmapped folds are
+        # by construction small enough to coexist in HBM.
         fit = jax.vmap(
             lambda p0, dat: fit_mapping(
                 p0, dat, lw, int(num_epochs), lr,
-                constrained=constrained,
+                constrained=constrained, impl="xla",
             ),
             in_axes=in_axes,
         )

@@ -617,6 +617,12 @@ class Mapper:
         improves the best gene-voxel score by less than the tolerance. The
         convergence check costs one host sync per window, not per epoch; the
         returned history covers the epochs actually run.
+
+        The pre-training logits buffer is donated to the computation
+        (``self.M`` is rebound to the trained parameters on return), so the
+        largest single-chip-trainable shape through this API matches the
+        manually-donated functional path. Hold a copy, not ``mapper.M``, if
+        you need the initial logits after training.
         """
         # Falsy print_each means "no printing" (the `if print_each:` guards
         # below already treat 0 that way; normalizing avoids a zero chunk
@@ -654,6 +660,7 @@ class Mapper:
                     compute_dtype=jnp.dtype(self.compute_dtype),
                     val_data=val_data if with_val else None,
                     val_each=int(val_each) if with_val else None,
+                    donate=True,
                 )
             else:
                 params, history = fit_mapping_sharded(
@@ -662,6 +669,7 @@ class Mapper:
                     with_val=with_val,
                     val_data=val_data if with_val else None,
                     val_each=int(val_each) if with_val else 1,
+                    donate=True,
                 )
             self.M = params
             history = jax.device_get(history)
@@ -691,9 +699,14 @@ class Mapper:
             param_dtype=self.param_dtype,
         )
 
+        # The training input buffers are donated: self.M is rebound to the
+        # result immediately after, so keeping the pre-training logits alive
+        # next to the training carry would only waste HBM (~5 GB at 50k×25k,
+        # shrinking the largest single-chip-trainable shape for no benefit).
         if print_each is None or num_epochs == 0:
             params, history = fit_mapping(
-                self.M, self.data, self.lw, num_epochs=num_epochs, **common
+                self.M, self.data, self.lw, num_epochs=num_epochs,
+                donate=True, **common
             )
             history = jax.device_get(history)
         else:
@@ -707,7 +720,7 @@ class Mapper:
                 params, opt_state, h = fit_mapping(
                     params, self.data, self.lw, num_epochs=chunk,
                     opt_state=opt_state, return_opt_state=True,
-                    step_offset=epoch, **chunk_kw,
+                    step_offset=epoch, donate=True, **chunk_kw,
                 )
                 h = jax.device_get(h)
                 _print_epoch({k: v[0] for k, v in h.items()}, PRINT_NAMES)
@@ -778,7 +791,7 @@ class Mapper:
                     val_data=val_data if with_val else None,
                     val_each=int(val_each) if with_val else None,
                     opt_state=opt_state, return_opt_state=True,
-                    donate=epoch > 0,
+                    donate=True,
                 )
             else:
                 params, opt_state, h = fit_mapping(
@@ -792,7 +805,7 @@ class Mapper:
                     compute_dtype=self.compute_dtype,
                     param_dtype=self.param_dtype,
                     opt_state=opt_state, return_opt_state=True,
-                    step_offset=epoch,
+                    step_offset=epoch, donate=True,
                 )
             h = jax.device_get(h)
             histories.append(
@@ -943,11 +956,13 @@ class MapperConstrained:
                     learning_rate, mesh=self.mesh,
                     moment_dtype=jnp.dtype(self.moment_dtype),
                     compute_dtype=jnp.dtype(self.compute_dtype),
+                    donate=True,
                 )
             else:
                 params, history = fit_mapping_sharded(
                     (self.M, self.F), self.data, self.lw, num_epochs,
                     learning_rate, mesh=self.mesh, constrained=True,
+                    donate=True,
                 )
         else:
             common = dict(
@@ -959,9 +974,11 @@ class MapperConstrained:
                 param_dtype=self.param_dtype,
             )
             if print_each is None or num_epochs == 0:
+                # donate: (M, F) are rebound to the result right after (see
+                # Mapper.train)
                 params, history = fit_mapping(
                     (self.M, self.F), self.data, self.lw,
-                    num_epochs=num_epochs, **common,
+                    num_epochs=num_epochs, donate=True, **common,
                 )
                 history = jax.device_get(history)
             else:
@@ -980,7 +997,7 @@ class MapperConstrained:
                     params, opt_state, h = fit_mapping(
                         params, self.data, self.lw, num_epochs=chunk,
                         opt_state=opt_state, return_opt_state=True,
-                        step_offset=epoch, **chunk_kw,
+                        step_offset=epoch, donate=True, **chunk_kw,
                     )
                     h = jax.device_get(h)
                     _print_epoch(

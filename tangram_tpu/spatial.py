@@ -27,10 +27,16 @@ from .ops.core import NeighborGraph
 __all__ = ["spatial_neighbors", "spatial_weights", "neighbor_graph"]
 
 
+#: a lattice neighbor sits at 1× the grid pitch; the second hex ring starts
+#: at √3 ≈ 1.73× (2× for square grids) — any cutoff between leaves exactly
+#: the first ring
+_GRID_RING_CUTOFF = 1.3
+
+
 def spatial_neighbors(
     adata_sp,
     n_neighs: int = 6,
-    coord_type: str = "generic",
+    coord_type: Optional[str] = None,
     delaunay: bool = False,
     set_diag: bool = False,
     spatial_key: str = "spatial",
@@ -38,13 +44,35 @@ def spatial_neighbors(
     """Compute a spot adjacency graph from ``obsm[spatial_key]`` coordinates.
 
     Writes ``obsp['spatial_connectivities']`` (binary CSR) and
-    ``obsp['spatial_distances']`` (euclidean CSR), the two matrices the
-    reference pipeline reads (``spatial_weights.py:15-16``).
+    ``obsp['spatial_distances']`` (CSR), the two matrices the reference
+    pipeline reads (``spatial_weights.py:15-16``).
+
+    ``coord_type``:
+
+    * ``"generic"`` — k-nearest-neighbor graph, euclidean distances.
+    * ``"grid"`` — Visium-style lattice adjacency: of the ``n_neighs``
+      nearest candidates, only those within the first lattice ring are kept
+      (cutoff between the measured grid pitch and the second ring at
+      √3×pitch), so border/island spots keep their true lattice degree
+      instead of back-filling with second-ring spots. Distances are the ring
+      index (1 for every first-ring edge), matching squidpy's grid
+      semantics: on the uniform Visium lattice the standardized weights are
+      1/degree either way.
+    * ``"delaunay"`` — Delaunay triangulation adjacency.
+    * ``None`` (default) — auto-select like squidpy
+      (``squidpy.gr.spatial_neighbors``, called by the reference at
+      ``mapping_utils.py:100``): ``"grid"`` when the AnnData carries Visium
+      library metadata in ``uns["spatial"]``, ``"generic"`` otherwise. The
+      hexagonal Visium array has 6 lattice neighbors, squidpy's (and this
+      function's) default ``n_neighs``.
     """
     if spatial_key not in adata_sp.obsm:
         raise ValueError(
             f"Missing spatial coordinates in `obsm[{spatial_key!r}]`."
         )
+    if coord_type is None:
+        uns = getattr(adata_sp, "uns", {})
+        coord_type = "grid" if "spatial" in uns else "generic"
     coords = np.asarray(adata_sp.obsm[spatial_key], dtype=np.float64)
     n = coords.shape[0]
 
@@ -55,6 +83,7 @@ def spatial_neighbors(
         indptr, indices = tri.vertex_neighbor_vertices
         rows = np.repeat(np.arange(n), np.diff(indptr))
         cols = indices
+        d = np.linalg.norm(coords[rows] - coords[cols], axis=1)
     else:
         from sklearn.neighbors import NearestNeighbors
 
@@ -72,8 +101,18 @@ def spatial_neighbors(
         is_self[missing_self, 0] = True
         rows = np.repeat(np.arange(n), k - 1)
         cols = idx[~is_self]
+        d = np.linalg.norm(coords[rows] - coords[cols], axis=1)
 
-    d = np.linalg.norm(coords[rows] - coords[cols], axis=1)
+        if coord_type == "grid" and len(d):
+            # lattice pitch = the typical nearest-neighbor distance (median
+            # over spots is robust to isolated spots and detached tissue
+            # fragments); keep only first-ring edges
+            nearest = d.reshape(n, k - 1)[:, 0]
+            pitch = float(np.median(nearest))
+            keep = d <= pitch * _GRID_RING_CUTOFF
+            rows, cols = rows[keep], cols[keep]
+            d = np.ones(keep.sum(), dtype=np.float64)  # ring index
+
     conn = sp.csr_matrix((np.ones_like(d, dtype=np.float64), (rows, cols)), shape=(n, n))
     dists = sp.csr_matrix((d, (rows, cols)), shape=(n, n))
     conn.sum_duplicates()

@@ -139,10 +139,20 @@ def _normalized_entropy(probs):
 def pearson_corr(cube):
     """Pairwise Pearson correlation of the flattened mapping matrices across
     the run axis (reference ``mapping_parameter_tuning.py:42-53`` reports the
-    strict lower triangle of the run×run correlation matrix)."""
-    n_runs = cube.shape[0]
-    corr = np.corrcoef(cube.reshape(n_runs, -1))
-    return corr[np.tril_indices(n_runs, -1)]
+    strict lower triangle of the run×run correlation matrix, pairs in
+    row-major order: (1,0), (2,0), (2,1), ...).
+
+    Computed directly as dot products of the centered, unit-norm flattened
+    runs — one (runs × N) normalization plus a tiny (runs × runs) gram
+    matrix, no full correlation-matrix helper."""
+    flat = cube.reshape(cube.shape[0], -1).astype(np.float64)
+    centered = flat - flat.mean(axis=1, keepdims=True)
+    norms = np.linalg.norm(centered, axis=1, keepdims=True)
+    unit = np.divide(
+        centered, norms, out=np.zeros_like(centered), where=norms > 0
+    )
+    i, j = np.tril_indices(cube.shape[0], -1)
+    return np.einsum("pn,pn->p", unit[i], unit[j])
 
 
 def vote_entropy(pred_probs_cube):
@@ -172,7 +182,10 @@ def _tuner_loss(M, lam, data_arrays):
 
     Mathematically identical to :func:`tangram_tpu.ops.losses.compute_loss`
     restricted to the tuner's whitelist (the tuner always builds every weight
-    matrix, reference ``:250-255``).
+    matrix, reference ``:250-255``). The core runs with ``impl='xla'``
+    unconditionally: the population is batched with ``jax.vmap``, where the
+    Pallas path is untested and unnecessary (per-trial problems small enough
+    to batch are small enough for XLA).
     """
     import jax.numpy as jnp
 
@@ -187,7 +200,7 @@ def _tuner_loss(M, lam, data_arrays):
 
     A = jnp.concatenate([S, ct_enc], axis=1)
     w = jnp.full((n_cells,), 1.0 / n_cells, dtype=M.dtype)
-    Y, q, h = mapper_core(M, A, w)
+    Y, q, h = mapper_core(M, A, w, impl="xla")
     G_pred = Y[:, : S.shape[1]]
     ct_map = Y[:, S.shape[1]:]
 
@@ -333,7 +346,8 @@ def _run_population(
         )
         P = jax.nn.softmax(M, axis=1)
         # reference quirk: _val_loss_fn evaluates on the train split
-        vm = val_metrics(M, S_dev, G_dev, gene_mask=jnp.asarray(train_mask))
+        vm = val_metrics(M, S_dev, G_dev, gene_mask=jnp.asarray(train_mask),
+                         impl="xla")
         return P, vm["val_gene_sim"]
 
     results = []

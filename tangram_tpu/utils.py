@@ -54,6 +54,30 @@ __all__ = [
 ]
 
 
+def device_memory_budget(device=None, fraction=0.5):
+    """Bytes of device memory a batched workload may claim.
+
+    Queries the accelerator's reported capacity
+    (``device.memory_stats()["bytes_limit"]``) and returns ``fraction`` of
+    it, so auto batch sizing fills a 32 GB v5p chip as readily as a 16 GB
+    v5e instead of assuming one fixed size. Backends that report no memory
+    stats (CPU, some simulators) fall back to conservative constants:
+    8 GB on TPU, 2 GB elsewhere.
+    """
+    import jax
+
+    if device is None:
+        device = jax.local_devices()[0]
+    try:
+        stats = device.memory_stats() or {}
+    except Exception:
+        stats = {}
+    limit = stats.get("bytes_limit")
+    if limit:
+        return fraction * float(limit)
+    return 8e9 if device.platform == "tpu" else 2e9
+
+
 def read_pickle(filename):
     """Unpickle a file, transparently handling gzip compression
     (ref utils.py:26-43)."""

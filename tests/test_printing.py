@@ -100,7 +100,9 @@ def test_val_metrics_are_post_step(problem):
 
     S, G, d = problem
     m = Mapper(S=S, G=G, random_state=2)
-    M0 = m.M
+    # host copy: train() donates the logits buffer (documented), so the live
+    # m.M array is consumed by the computation
+    M0 = np.array(m.M)
     out, hist = m.train(num_epochs=3, learning_rate=0.1, print_each=None, val_each=1)
     pre_step = float(val_metrics(M0, m.data.S, m.data.G)["val_gene_sim"])
     post_step = float(val_metrics(m.M, m.data.S, m.data.G)["val_gene_sim"])

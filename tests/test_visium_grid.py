@@ -1,0 +1,146 @@
+"""Visium hex-grid neighbor graphs (``coord_type="grid"``).
+
+The reference's ``pp_adatas`` calls ``squidpy.gr.spatial_neighbors``
+(``mapping_utils.py:100``), which auto-selects grid adjacency for Visium
+data (library metadata in ``uns["spatial"]``): 6-neighbor hex-lattice
+connectivity where border spots keep their true lattice degree. These tests
+pin that behavior on a hand-built hex lattice.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tangram_tpu import adlite
+from tangram_tpu.spatial import spatial_neighbors
+
+
+def hex_lattice(n_rows, n_cols, pitch=1.0):
+    """Row-staggered hexagonal lattice (the Visium array layout): every
+    interior spot has exactly 6 equidistant neighbors at ``pitch``."""
+    coords = []
+    for r in range(n_rows):
+        for c in range(n_cols):
+            x = (c + 0.5 * (r % 2)) * pitch
+            y = r * (np.sqrt(3.0) / 2.0) * pitch
+            coords.append((x, y))
+    return np.asarray(coords, dtype=np.float64)
+
+
+def make_adata(coords, visium_metadata=False):
+    n = coords.shape[0]
+    ad = adlite.AnnData(
+        X=np.ones((n, 2), np.float32),
+        obs=pd.DataFrame(index=[f"s{i}" for i in range(n)]),
+    )
+    ad.obsm["spatial"] = coords
+    if visium_metadata:
+        ad.uns["spatial"] = {"library_1": {"images": {}, "scalefactors": {}}}
+    return ad
+
+
+def degrees(ad):
+    return np.asarray(ad.obsp["spatial_connectivities"].sum(axis=1)).ravel()
+
+
+def test_hex_lattice_adjacency():
+    """Interior spots have exactly their 6 hex neighbors; corners/edges keep
+    their true lattice degree (no second-ring back-fill)."""
+    coords = hex_lattice(5, 6, pitch=2.5)
+    ad = make_adata(coords)
+    spatial_neighbors(ad, coord_type="grid")
+    deg = degrees(ad)
+
+    n_rows, n_cols = 5, 6
+    idx = lambda r, c: r * n_cols + c  # noqa: E731
+
+    # interior spot: all 6 hex neighbors, and exactly those
+    r, c = 2, 3
+    conn = ad.obsp["spatial_connectivities"].tocsr()
+    nbrs = set(conn[idx(r, c)].indices)
+    # even row (r=2): same-row ±1; row above/below at columns c-1 and c
+    expected = {
+        idx(2, 2), idx(2, 4),
+        idx(1, 2), idx(1, 3),
+        idx(3, 2), idx(3, 3),
+    }
+    assert nbrs == expected
+    assert deg[idx(r, c)] == 6
+
+    # corner (0,0) on an even row: right neighbor + two in row 1 → degree 2
+    corner = set(conn[idx(0, 0)].indices)
+    assert corner == {idx(0, 1), idx(1, 0)}
+
+    # no edge longer than the lattice pitch survives
+    coo = conn.tocoo()
+    dists = np.linalg.norm(coords[coo.row] - coords[coo.col], axis=1)
+    assert np.all(dists <= 2.5 * 1.01)
+
+    # distances matrix carries the ring index (squidpy grid semantics)
+    assert np.all(ad.obsp["spatial_distances"].data == 1.0)
+
+
+def test_grid_vs_generic_on_borders():
+    """Generic KNN back-fills border spots to exactly n_neighs neighbors
+    from the second ring; grid mode must not."""
+    coords = hex_lattice(4, 4)
+    ad_gen = make_adata(coords)
+    spatial_neighbors(ad_gen, coord_type="generic")
+    ad_grid = make_adata(coords)
+    spatial_neighbors(ad_grid, coord_type="grid")
+
+    deg_gen = degrees(ad_gen)
+    deg_grid = degrees(ad_grid)
+    assert deg_gen.max() >= 6  # KNN always hands out n_neighs per spot
+    assert deg_grid.min() < 6  # borders keep their true lattice degree
+    assert deg_grid.max() == 6
+    # grid edges are a subset of some KNN graph's: every one is first-ring
+    assert (deg_grid <= deg_gen).all()
+
+
+def test_auto_selects_grid_with_visium_metadata():
+    """coord_type=None picks grid iff uns['spatial'] metadata is present,
+    like squidpy's auto selection."""
+    coords = hex_lattice(4, 5)
+    ad_visium = make_adata(coords, visium_metadata=True)
+    spatial_neighbors(ad_visium)  # auto
+    ad_plain = make_adata(coords)
+    spatial_neighbors(ad_plain)  # auto → generic
+
+    # grid: border spots below 6; generic: everyone gets exactly 6
+    assert degrees(ad_visium).min() < 6
+    assert np.all(degrees(ad_plain) == 6)
+
+
+def test_pp_adatas_auto_grid():
+    """pp_adatas on a Visium-like AnnData builds the hex-grid graph."""
+    from tangram_tpu.mapping import pp_adatas
+
+    rng = np.random.default_rng(0)
+    coords = hex_lattice(4, 5)
+    n = coords.shape[0]
+    genes = [f"g{i}" for i in range(6)]
+    ad_sp = adlite.AnnData(
+        X=rng.poisson(3.0, (n, len(genes))).astype(np.float32) + 1.0,
+        obs=pd.DataFrame(index=[f"s{i}" for i in range(n)]),
+        var=pd.DataFrame(index=genes),
+    )
+    ad_sp.obsm["spatial"] = coords
+    ad_sp.uns["spatial"] = {"library_1": {}}
+    ad_sc = adlite.AnnData(
+        X=rng.poisson(2.0, (7, len(genes))).astype(np.float32) + 1.0,
+        obs=pd.DataFrame(index=[f"c{i}" for i in range(7)]),
+        var=pd.DataFrame(index=genes),
+    )
+    pp_adatas(ad_sc, ad_sp, genes=None)
+    assert "spatial_connectivities" in ad_sp.obsp
+    deg = degrees(ad_sp)
+    assert deg.max() == 6 and deg.min() < 6  # hex lattice, true border degree
+
+
+def test_grid_graph_is_symmetric():
+    coords = hex_lattice(5, 5)
+    ad = make_adata(coords)
+    spatial_neighbors(ad, coord_type="grid")
+    conn = ad.obsp["spatial_connectivities"]
+    assert (conn != conn.T).nnz == 0
