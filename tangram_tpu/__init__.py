@@ -56,10 +56,11 @@ _plot_names = {
 }
 _tune_names = {"mapping_hyperparameter_tuning", "train_multiple_Mapper",
                "pearson_corr", "vote_entropy", "consensus_entropy"}
+_search_names = {"TPESampler", "nondominated_rank"}
 
 __all__ = sorted(
     [name for name in dir() if not name.startswith("_")]
-    + list(_plot_names) + list(_tune_names)
+    + list(_plot_names) + list(_tune_names) + list(_search_names)
 )
 
 
@@ -76,4 +77,8 @@ def __getattr__(name):
         from . import tuning
 
         return getattr(tuning, name)
+    if name in _search_names:
+        from . import search
+
+        return getattr(search, name)
     raise AttributeError(f"module 'tangram_tpu' has no attribute {name!r}")

@@ -468,15 +468,30 @@ def mapping_hyperparameter_tuning(
     population_batch_size: int = 4,
     verbose: bool = False,
     mesh=None,
+    search: str = "sobol",
 ) -> TunerResult:
     """Tune mapping hyperparameters (reference ``:141-272``).
 
     Differences from the reference: trials run as on-device vmapped batches
-    instead of Ray worker processes, and sampling is Sobol quasi-random
-    (OptunaSearch is process-bound; at Tangram's trial costs quasi-random
-    coverage is the robust default). Ray is not required.
+    instead of Ray worker processes. ``search`` selects the sampler:
+
+    * ``"sobol"`` (default) — scrambled Sobol quasi-random: non-adaptive,
+      best-possible space coverage at a fixed trial budget, one compile for
+      the whole population.
+    * ``"adaptive"`` — multi-objective TPE (the capability the reference
+      gets from Ray + ``OptunaSearch``, ``mapping_parameter_tuning.py:
+      259-271``): trials run in ``population_batch_size``-sized ask/tell
+      rounds, each round's configurations sampled near the Pareto-best
+      observed ones (:mod:`tangram_tpu.search`). On narrow optima it
+      reaches the best region in a fraction of the Sobol budget
+      (tests/test_adaptive_search.py pins ≤ 1/4 on a seeded objective);
+      each round is still one vmapped on-device batch.
+
+    Ray is not required for either mode.
     """
     del device
+    if search not in ("sobol", "adaptive"):
+        raise ValueError('search must be "sobol" or "adaptive"')
 
     if (type(density_prior) is str) and (
         density_prior not in ["rna_count_based", "uniform", None]
@@ -551,19 +566,9 @@ def mapping_hyperparameter_tuning(
     ct_encode = one_hot_encoding(adata_sc.obs[cluster_label]).values
     spatial_weights = sw.spatial_weights(adata_sp, standardized=False, self_inclusion=True)
 
-    # Sobol sampling of the search space
     domains = {k: _coerce_domain(v) for k, v in config.items()}
-    from scipy.stats import qmc
 
-    sampler = qmc.Sobol(d=max(len(domains), 1), scramble=True, seed=random_state)
-    unit = sampler.random(tuner_num_samples)
-    configs = []
-    for row in unit:
-        cfg = {k: dom.from_unit(u) for (k, dom), u in zip(domains.items(), row)}
-        configs.append(cfg)
-
-    df = _run_population(
-        configs=configs,
+    population_kwargs = dict(
         S=S,
         G=G,
         d=d,
@@ -577,6 +582,48 @@ def mapping_hyperparameter_tuning(
         verbose=verbose,
         mesh=mesh,
     )
+
+    def from_unit_rows(unit_rows):
+        return [
+            {k: dom.from_unit(u) for (k, dom), u in zip(domains.items(), row)}
+            for row in unit_rows
+        ]
+
+    if search == "adaptive" and domains:
+        # ask/tell TPE rounds: each round is one vmapped on-device batch;
+        # the selected `metric` columns are the (maximized) objectives
+        from .search import TPESampler
+
+        sampler = TPESampler(
+            n_dims=len(domains),
+            seed=random_state,
+            n_startup=min(16, max(4, tuner_num_samples // 4)),
+        )
+        configs, frames = [], []
+        while len(configs) < tuner_num_samples:
+            ask_n = min(population_batch_size, tuner_num_samples - len(configs))
+            unit_rows = sampler.ask(ask_n)
+            round_configs = from_unit_rows(unit_rows)
+            frame = _run_population(configs=round_configs, **population_kwargs)
+            sampler.tell(unit_rows, frame[list(metric)].to_numpy())
+            configs.extend(round_configs)
+            frames.append(frame)
+            if verbose:
+                logging.info(
+                    "adaptive tuner: %d/%d trials", len(configs),
+                    tuner_num_samples,
+                )
+        df = pd.concat(frames, ignore_index=True)
+    else:
+        # scrambled Sobol over the search space, one population
+        from scipy.stats import qmc
+
+        sampler = qmc.Sobol(
+            d=max(len(domains), 1), scramble=True, seed=random_state
+        )
+        configs = from_unit_rows(sampler.random(tuner_num_samples))
+        df = _run_population(configs=configs, **population_kwargs)
+
     for k in domains:
         df[f"config/{k}"] = [cfg[k] for cfg in configs]
     return TunerResult(df)

@@ -1,0 +1,209 @@
+"""Adaptive (TPE) hyperparameter search — the capability the reference gets
+from Ray + OptunaSearch (``mapping_parameter_tuning.py:259-271``).
+
+The acceptance criterion from the round-2 review: on a seeded synthetic
+objective with a narrow optimum, the adaptive mode reaches within ε of the
+best configuration in ≤ 1/4 of the trials plain Sobol needs.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import tangram_tpu as tg
+from tangram_tpu import tuning
+from tangram_tpu.search import TPESampler, nondominated_rank
+
+
+# ---------------------------------------------------------------------------
+# nondominated ranking
+# ---------------------------------------------------------------------------
+
+
+def test_nondominated_rank_hand_example():
+    Y = np.array(
+        [
+            [1.0, 1.0],  # dominated by (2,2)
+            [2.0, 2.0],  # front
+            [3.0, 0.5],  # front (trades off)
+            [0.5, 3.0],  # front (trades off)
+            [0.0, 0.0],  # rank 2: dominated by (1,1) too
+        ]
+    )
+    rank = nondominated_rank(Y)
+    np.testing.assert_array_equal(rank, [1, 0, 0, 0, 2])
+
+
+def test_nondominated_rank_single_objective_is_sort_order():
+    Y = np.array([[0.3], [0.9], [0.1], [0.9]])
+    rank = nondominated_rank(Y)
+    # maxima share rank 0; strictly worse values strictly higher ranks
+    assert rank[1] == rank[3] == 0
+    assert rank[0] > 0 and rank[2] > rank[0]
+
+
+# ---------------------------------------------------------------------------
+# TPE sampler mechanics
+# ---------------------------------------------------------------------------
+
+
+def test_tpe_startup_is_sobol_and_deterministic():
+    a = TPESampler(3, seed=7, n_startup=8).ask(8)
+    b = TPESampler(3, seed=7, n_startup=8).ask(8)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (8, 3)
+    assert (a >= 0).all() and (a <= 1).all()
+
+
+def test_tpe_validates_shapes():
+    s = TPESampler(2, seed=0)
+    with pytest.raises(ValueError, match="matching first"):
+        s.tell(np.zeros((3, 2)), np.zeros(2))
+    with pytest.raises(ValueError, match="columns"):
+        s.tell(np.zeros((3, 5)), np.zeros(3))
+    with pytest.raises(ValueError):
+        TPESampler(0)
+
+
+def test_tpe_concentrates_near_good_observations():
+    """After telling a cluster of good points, suggestions land near it far
+    more often than uniform sampling would."""
+    rng = np.random.default_rng(0)
+    s = TPESampler(2, seed=0, n_startup=4)
+    target = np.array([0.8, 0.2])
+    X = rng.random((40, 2))
+    y = -((X - target) ** 2).sum(axis=1)
+    s.tell(X, y)
+    asked = s.ask(32)
+    dist = np.linalg.norm(asked - target, axis=1)
+    # uniform sampling: P(dist < 0.25) ≈ π·0.25² ≈ 0.2 → expect ~6/32
+    assert (dist < 0.25).mean() > 0.5
+
+
+# ---------------------------------------------------------------------------
+# the acceptance criterion: ≤ 1/4 of Sobol's trials on a narrow optimum
+# ---------------------------------------------------------------------------
+
+_TARGET = np.array([0.23, 0.71])
+_EPS = 0.02  # "within ε of the best config" in unit-space distance
+
+
+def _trials_to_hit_tpe(seed, batch=4, cap=400):
+    s = TPESampler(2, seed=seed, n_startup=16)
+    n = 0
+    while n < cap:
+        X = s.ask(batch)
+        s.tell(X, -((X - _TARGET) ** 2).sum(axis=1))
+        n += batch
+        if (np.linalg.norm(X - _TARGET, axis=1) <= _EPS).any():
+            return n
+    return cap
+
+
+def _trials_to_hit_sobol(seed, cap=4096):
+    from scipy.stats import qmc
+
+    X = qmc.Sobol(d=2, scramble=True, seed=seed).random(cap)
+    hits = np.nonzero(np.linalg.norm(X - _TARGET, axis=1) <= _EPS)[0]
+    return int(hits[0]) + 1 if len(hits) else cap
+
+
+def test_adaptive_beats_sobol_by_4x_on_narrow_optimum():
+    seeds = range(6)
+    tpe = np.array([_trials_to_hit_tpe(s) for s in seeds])
+    sobol = np.array([_trials_to_hit_sobol(s) for s in seeds])
+    # the headline criterion, averaged over seeds so one lucky Sobol draw
+    # can't flip the verdict
+    assert tpe.mean() <= sobol.mean() / 4.0, (tpe.tolist(), sobol.tolist())
+    # and every adaptive run individually converges well within budget
+    assert (tpe <= 200).all(), tpe.tolist()
+
+
+def test_tpe_multiobjective_steers_to_shared_peak():
+    """Two objectives peaking at the same spot: the MOTPE split must steer
+    suggestions there."""
+    target = np.array([0.3, 0.6])
+    s = TPESampler(2, seed=1, n_startup=16)
+    for _ in range(20):
+        X = s.ask(4)
+        y1 = -np.abs(X - target).sum(axis=1)
+        y2 = -((X - target) ** 2).sum(axis=1)
+        s.tell(X, np.stack([y1, y2], axis=1))
+    asked = s.ask(16)
+    assert np.median(np.linalg.norm(asked - target, axis=1)) < 0.15
+
+
+# ---------------------------------------------------------------------------
+# tuner integration
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def tuner_adatas(rng):
+    n_cells, n_spots, n_genes = 24, 18, 10
+    S = (rng.poisson(2.0, (n_cells, n_genes)) + 1).astype(np.float32)
+    G = (rng.poisson(2.0, (n_spots, n_genes)) + 1).astype(np.float32)
+    ad_sc = tg.AnnData(
+        X=S,
+        obs=pd.DataFrame(
+            {"subclass_label": pd.Categorical(rng.choice(["a", "b"], n_cells))},
+            index=[f"c{i}" for i in range(n_cells)],
+        ),
+        var=pd.DataFrame(index=[f"g{i}" for i in range(n_genes)]),
+    )
+    ad_sp = tg.AnnData(
+        X=G,
+        obs=pd.DataFrame(index=[f"s{i}" for i in range(n_spots)]),
+        var=pd.DataFrame(index=[f"g{i}" for i in range(n_genes)]),
+    )
+    ad_sp.obsm["spatial"] = rng.random((n_spots, 2))
+    tg.pp_adatas(ad_sc, ad_sp)
+    return ad_sc, ad_sp
+
+
+def test_tuner_adaptive_end_to_end(tuner_adatas):
+    ad_sc, ad_sp = tuner_adatas
+    metric = ["gene_expr_correctness"]
+    config = {
+        "learning_rate": tuning.loguniform(0.01, 0.5),
+        "lambda_g1": tuning.uniform(0.5, 1.0),
+        "num_epochs": 20,
+    }
+    # repeat-run 0 continues the ambient numpy stream (reference quirk,
+    # mapping_parameter_tuning.py:121 — random_state=0 is falsy there);
+    # pin it so the two tuner invocations below are comparable
+    np.random.seed(99)
+    tuner = tg.mapping_hyperparameter_tuning(
+        ad_sc, ad_sp, metric, config, tuner_num_samples=6,
+        cluster_label="subclass_label", population_batch_size=3,
+        search="adaptive", random_state=5,
+    )
+    df = tuner.get_results().get_dataframe()
+    assert len(df) == 6
+    for m in tuning.METRIC_KEYS:
+        assert np.isfinite(df[m]).all()
+    assert "config/learning_rate" in df.columns
+    assert (df["config/lambda_g1"] >= 0.5).all()
+
+    # deterministic given the seed (and the pinned ambient stream)
+    np.random.seed(99)
+    df2 = tg.mapping_hyperparameter_tuning(
+        ad_sc, ad_sp, metric, config, tuner_num_samples=6,
+        cluster_label="subclass_label", population_batch_size=3,
+        search="adaptive", random_state=5,
+    ).get_results().get_dataframe()
+    np.testing.assert_allclose(
+        df["gene_expr_correctness"].to_numpy(),
+        df2["gene_expr_correctness"].to_numpy(),
+        rtol=1e-6,
+    )
+
+
+def test_tuner_rejects_unknown_search(tuner_adatas):
+    ad_sc, ad_sp = tuner_adatas
+    with pytest.raises(ValueError, match="search"):
+        tg.mapping_hyperparameter_tuning(
+            ad_sc, ad_sp, ["gene_expr_correctness"], {"lambda_g1": 1.0},
+            cluster_label="subclass_label", tuner_num_samples=1,
+            search="genetic",
+        )
