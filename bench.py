@@ -125,6 +125,56 @@ def _spatial_reg_step_time(rng, kwargs, n_cells=26_000, n_spots=50_000):
     return ms
 
 
+def _validate_comm_model_against_hlo(model_wire_bytes):
+    """Cross-check the hand psum model against the collectives XLA actually
+    emits: lower ONE fused sharded step at the north-star spot/gene shape on
+    an 8-virtual-device CPU mesh (subprocess: the device-count flag is read
+    at backend init) and convert the HLO collectives to ring wire bytes
+    (scripts/hlo_collective_bytes.py). Collective buffers are
+    (spots x genes), independent of the cell count, so the small-cell
+    lowering yields the exact north-star traffic."""
+    import os
+    import subprocess
+
+    script = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scripts",
+        "hlo_collective_bytes.py",
+    )
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS=(
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        ).strip(),
+    )
+    repo_root = os.path.dirname(os.path.dirname(script))
+    env["PYTHONPATH"] = repo_root + (
+        ":" + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, script, "--spots", "50000",
+             "--genes", str(N_GENES), "--devices", "8", "--mesh", "1d"],
+            capture_output=True, text=True, timeout=1200, env=env,
+        )
+        hlo = json.loads(proc.stdout.strip().splitlines()[-1])
+    except Exception as err:
+        return {"failed": f"{type(err).__name__}: {err}"}
+    hlo_wire = hlo["per_step"]["wire_bytes_per_chip"]
+    ratio = hlo_wire / model_wire_bytes
+    return {
+        "hlo_wire_bytes_per_step_per_chip": hlo_wire,
+        "model_wire_bytes_per_step_per_chip": model_wire_bytes,
+        "hlo_over_model": round(ratio, 4),
+        "agreement_within_20pct": bool(0.8 <= ratio <= 1.2),
+        "psum_ms_from_hlo_bytes": round(
+            hlo_wire / ICI_BYTES_PER_S * 1e3, 3
+        ),
+        "attribution": hlo.get("attribution"),
+    }
+
+
 def main():
     import gc
 
@@ -308,6 +358,9 @@ def main():
                           "math asserted equal to single-device on an "
                           "8-device CPU mesh (tests/test_fused_sharded.py)",
             }
+            result["north_star_projection"]["hlo_validation"] = (
+                _validate_comm_model_against_hlo(psum_bytes)
+            )
             # --- spatial regularizers at atlas spot counts: k-NN structured
             # graphs (NeighborGraph) keep the W-products O(spots·k) — the
             # dense s×s form would be 10 GB at 50k spots before training

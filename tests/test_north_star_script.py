@@ -1,0 +1,94 @@
+"""CI smoke of the two north-star tooling scripts (VERDICT round 2, item 2):
+`scripts/north_star.py` (one-command pod run) and the HLO collective
+analyzer feeding bench.py's comm-model validation."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+SCRIPTS = os.path.join(os.path.dirname(__file__), "..", "scripts")
+sys.path.insert(0, SCRIPTS)
+
+
+def test_north_star_tiny_end_to_end(capsys):
+    import north_star
+
+    rc = north_star.main(["--tiny", "--mesh", "1d"])
+    assert rc == 0
+    import json
+
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["metric"].startswith("north_star_96x40x12")
+    assert out["value"] > 0
+    assert out["parity_epoch"] <= 5
+    assert np.isfinite(out["final_train_score"])
+    assert "8 cpu devices" in out["mesh"]
+
+
+def test_north_star_tiny_2d_mesh(capsys):
+    import north_star
+
+    assert north_star.main(["--tiny", "--mesh", "2d"]) == 0
+
+
+def test_hlo_collective_analyzer_matches_model():
+    """The analyzer's wire bytes for the 1-D fused step must agree with the
+    bench psum model within 20% at a scaled shape (same genes, fewer
+    spots — both sides scale linearly in spots)."""
+    import json
+    import subprocess
+
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS=(
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        ).strip(),
+    )
+    repo_root = os.path.dirname(SCRIPTS.rstrip("/"))
+    env["PYTHONPATH"] = os.path.abspath(repo_root)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(SCRIPTS, "hlo_collective_bytes.py"),
+         "--spots", "2000", "--cells", "128", "--devices", "8"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    wire = out["per_step"]["wire_bytes_per_chip"]
+    model = out["bench_model_wire_bytes"]
+    assert wire > 0
+    assert 0.8 <= wire / model <= 1.2, (wire, model)
+
+
+def test_hlo_analyzer_text_parsing():
+    """Unit-level: shape parsing, wire formulas and while-body attribution
+    on a hand-written HLO module."""
+    import hlo_collective_bytes as hcb
+
+    hlo = """\
+HloModule test
+
+%body.1 (p: (f32[8,4], f32[8,4])) -> (f32[8,4], f32[8,4]) {
+  %ar = f32[8,4]{1,0} all-reduce(f32[8,4]{1,0} %x), replica_groups={{0,1,2,3}}, to_apply=%add.2
+  ROOT %t = tuple(%ar, %ar)
+}
+
+%cond.1 (p: (f32[8,4], f32[8,4])) -> pred[] {
+  ROOT %lt = pred[] constant(false)
+}
+
+ENTRY %main (a: f32[8,4]) -> f32[8,4] {
+  %w = (f32[8,4], f32[8,4]) while((f32[8,4], f32[8,4]) %tup), condition=%cond.1, body=%body.1
+  %ag = f32[16,4]{1,0} all-gather(f32[8,4]{1,0} %a), replica_groups={{0,1}}, dimensions={0}
+  ROOT %r = f32[8,4] get-tuple-element(%w), index=0
+}
+"""
+    res = hcb.analyze_hlo(hlo, n_devices=4)
+    # per-step: the while body's all-reduce, group 4: 2*(3/4)*128 = 192
+    assert res["attribution"] == "while_body reachability"
+    assert res["per_step"]["wire_bytes_per_chip"] == pytest.approx(192.0)
+    # module total adds the group-2 all-gather: (1/2)*256 = 128
+    assert res["module_total"]["wire_bytes_per_chip"] == pytest.approx(320.0)
