@@ -647,35 +647,62 @@ class Mapper:
 
         if self.mesh is not None:
             # multi-chip: shard over the mesh. Fused kernels when they
-            # support the configuration, GSPMD otherwise.
+            # support the configuration, GSPMD otherwise. With print_each
+            # set, the sharded scan runs in print_each-sized chunks (Adam
+            # state carried, val cadence continued via step_offset) so score
+            # lines stream live exactly like the single-chip path.
             from ..parallel import fit_mapping_fused_sharded, fit_mapping_sharded
 
             use_fused_mesh = "cell" in self.mesh.axis_names
             if use_fused_mesh:
-                params, history = fit_mapping_fused_sharded(
-                    self.M.astype(jnp.dtype(self.param_dtype)),
-                    self.data, self.lw, num_epochs,
-                    learning_rate, mesh=self.mesh,
+                mesh_kw = dict(
+                    mesh=self.mesh,
                     moment_dtype=jnp.dtype(self.moment_dtype),
                     compute_dtype=jnp.dtype(self.compute_dtype),
                     val_data=val_data if with_val else None,
                     val_each=int(val_each) if with_val else None,
                     donate=True,
                 )
+                fit_mesh = fit_mapping_fused_sharded
+                params = self.M.astype(jnp.dtype(self.param_dtype))
             else:
-                params, history = fit_mapping_sharded(
-                    self.M, self.data, self.lw, num_epochs,
-                    learning_rate, mesh=self.mesh,
+                mesh_kw = dict(
+                    mesh=self.mesh,
                     with_val=with_val,
                     val_data=val_data if with_val else None,
                     val_each=int(val_each) if with_val else 1,
                     donate=True,
                 )
+                fit_mesh = fit_mapping_sharded
+                params = self.M
+            if print_each is None or num_epochs == 0:
+                params, history = fit_mesh(
+                    params, self.data, self.lw, num_epochs, learning_rate,
+                    **mesh_kw,
+                )
+                history = jax.device_get(history)
+            else:
+                chunks, opt_state, epoch = [], None, 0
+                while epoch < num_epochs:
+                    chunk = min(int(print_each), num_epochs - epoch)
+                    lr_chunk = (
+                        learning_rate[epoch:epoch + chunk]
+                        if np.ndim(learning_rate) == 1 else learning_rate
+                    )
+                    params, opt_state, h = fit_mesh(
+                        params, self.data, self.lw, chunk, lr_chunk,
+                        opt_state=opt_state, return_opt_state=True,
+                        step_offset=epoch, **mesh_kw,
+                    )
+                    h = jax.device_get(h)
+                    _print_epoch({k: v[0] for k, v in h.items()}, PRINT_NAMES)
+                    chunks.append(h)
+                    epoch += chunk
+                history = {
+                    k: np.concatenate([np.asarray(h[k]) for h in chunks])
+                    for k in chunks[0]
+                }
             self.M = params
-            history = jax.device_get(history)
-            if print_each is not None:
-                for t in range(0, num_epochs, int(print_each)):
-                    _print_epoch({k: v[t] for k, v in history.items()}, PRINT_NAMES)
             training_history = _as_history_lists(history, HISTORY_KEYS, num_epochs)
             for k in VAL_KEYS:
                 if with_val:
@@ -761,12 +788,6 @@ class Mapper:
                 "early stopping over a mesh requires a 'cell' axis "
                 "(the fused sharded path)"
             )
-        if use_mesh and with_val and window % int(val_each) != 0:
-            raise ValueError(
-                "with mesh + early stopping, early_stop_window must be a "
-                "multiple of val_each (the sharded scan's validation "
-                "cadence restarts each chunk)"
-            )
         lr_is_vec = np.ndim(learning_rate) == 1
         histories = []
         opt_state, epoch, best = None, 0, -np.inf
@@ -791,7 +812,7 @@ class Mapper:
                     val_data=val_data if with_val else None,
                     val_each=int(val_each) if with_val else None,
                     opt_state=opt_state, return_opt_state=True,
-                    donate=True,
+                    step_offset=epoch, donate=True,
                 )
             else:
                 params, opt_state, h = fit_mapping(
@@ -947,23 +968,52 @@ class MapperConstrained:
         if not print_each:
             print_each = None
         if self.mesh is not None:
+            # sharded training; print_each chunks the scan so score lines
+            # stream live, like the single-chip path (Adam state carried)
             from ..parallel import fit_mapping_fused_sharded, fit_mapping_sharded
 
             if "cell" in self.mesh.axis_names:
-                params, history = fit_mapping_fused_sharded(
-                    (self.M.astype(jnp.dtype(self.param_dtype)), self.F),
-                    self.data, self.lw, num_epochs,
-                    learning_rate, mesh=self.mesh,
+                fit_mesh = fit_mapping_fused_sharded
+                mesh_kw = dict(
+                    mesh=self.mesh,
                     moment_dtype=jnp.dtype(self.moment_dtype),
                     compute_dtype=jnp.dtype(self.compute_dtype),
                     donate=True,
                 )
+                params = (self.M.astype(jnp.dtype(self.param_dtype)), self.F)
             else:
-                params, history = fit_mapping_sharded(
-                    (self.M, self.F), self.data, self.lw, num_epochs,
-                    learning_rate, mesh=self.mesh, constrained=True,
-                    donate=True,
+                fit_mesh = fit_mapping_sharded
+                mesh_kw = dict(mesh=self.mesh, constrained=True, donate=True)
+                params = (self.M, self.F)
+            if print_each is None or num_epochs == 0:
+                params, history = fit_mesh(
+                    params, self.data, self.lw, num_epochs, learning_rate,
+                    **mesh_kw,
                 )
+            else:
+                chunks, opt_state, epoch = [], None, 0
+                while epoch < num_epochs:
+                    chunk = min(int(print_each), num_epochs - epoch)
+                    lr_chunk = (
+                        learning_rate[epoch:epoch + chunk]
+                        if np.ndim(learning_rate) == 1 else learning_rate
+                    )
+                    params, opt_state, h = fit_mesh(
+                        params, self.data, self.lw, chunk, lr_chunk,
+                        opt_state=opt_state, return_opt_state=True,
+                        step_offset=epoch, **mesh_kw,
+                    )
+                    h = jax.device_get(h)
+                    _print_epoch(
+                        {k: v[0] for k, v in h.items()},
+                        CONSTRAINED_PRINT_NAMES,
+                    )
+                    chunks.append(h)
+                    epoch += chunk
+                history = {
+                    k: np.concatenate([np.asarray(h[k]) for h in chunks])
+                    for k in chunks[0]
+                }
         else:
             common = dict(
                 learning_rate=learning_rate,
@@ -1011,12 +1061,6 @@ class MapperConstrained:
                 }
         self.M, self.F = params
         history = jax.device_get(history)
-
-        if print_each is not None and self.mesh is not None:
-            for t in range(0, num_epochs, int(print_each)):
-                _print_epoch(
-                    {k: v[t] for k, v in history.items()}, CONSTRAINED_PRINT_NAMES
-                )
 
         training_history = _as_history_lists(
             history, CONSTRAINED_HISTORY_KEYS, num_epochs

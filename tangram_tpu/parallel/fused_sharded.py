@@ -372,6 +372,7 @@ def fit_mapping_fused_sharded(
     val_data: MapperData = None,
     val_each=None,
     donate=False,
+    step_offset: int = 0,
 ):
     """Train over a device mesh with the fused kernels.
 
@@ -385,8 +386,12 @@ def fit_mapping_fused_sharded(
     (``ops/schedules.py``). ``donate=True`` donates the sharded M and Adam
     moments to the computation (halving their peak HBM next to the training
     carry — the knob that doubles per-chip shard capacity at atlas scale);
-    the caller must not reuse the incoming buffers. See the module docstring
-    for supported configurations per mesh layout.
+    the caller must not reuse the incoming buffers. ``step_offset`` is the
+    absolute epoch index of this call's first step: chunked/resumed runs
+    pass it so the ``val_each`` validation cadence continues across chunk
+    boundaries instead of restarting (the analogue of ``fit_mapping``'s
+    ``step_offset``). See the module docstring for supported configurations
+    per mesh layout.
     """
     from ..ops.schedules import resolve_lr
 
@@ -408,7 +413,8 @@ def fit_mapping_fused_sharded(
         devices = np.asarray(jax.devices())
         mesh = Mesh(devices.reshape(-1), axis_names=("cell",))
 
-    val = dict(val_data=val_data, val_each=val_each, donate=donate)
+    val = dict(val_data=val_data, val_each=val_each, donate=donate,
+               step_offset=int(step_offset))
     if "spot" in mesh.axis_names and mesh.shape["spot"] > 1:
         return _fit_2d(params, data, lw, num_epochs, learning_rate, mesh,
                        moment_dtype, compute_dtype, constrained,
@@ -454,7 +460,7 @@ def _donate_argnums(extra_names):
 def _fit_1d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
             compute_dtype, constrained, opt_state=None,
             return_opt_state=False, val_data=None, val_each=None,
-            donate=False):
+            donate=False, step_offset=0):
     axis = "cell"
     n_shards = mesh.shape[axis]
     M0 = params[0] if constrained else params
@@ -562,8 +568,11 @@ def _fit_1d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
         ex = dict(zip(extra_names, extras))
         lr_l = ex.get("lr")
 
+        # scan t is the ABSOLUTE epoch index (step_offset + position), so
+        # the val cadence carries across chunked/resumed calls; the chunk's
+        # lr vector is indexed relative to this call
         def lr_at(t):
-            return learning_rate if lr_l is None else lr_l[t]
+            return learning_rate if lr_l is None else lr_l[t - step_offset]
 
         ct_l = ex.get("ct")
         if constrained:
@@ -612,7 +621,8 @@ def _fit_1d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
             (M_f, F_f, count_f, mu_f, nu_f, muF_f, nuF_f, _), history = (
                 jax.lax.scan(
                     step, (M_local, F_l, count, mu, nu, muF, nuF, stats),
-                    jnp.arange(num_epochs) if lr_l is not None else None,
+                    step_offset + jnp.arange(num_epochs)
+                    if lr_l is not None else None,
                     length=None if lr_l is not None else num_epochs,
                 )
             )
@@ -632,7 +642,7 @@ def _fit_1d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
 
         (M_f, count_f, mu_f, nu_f, _), history = jax.lax.scan(
             step, (M_local, count, mu, nu, stats),
-            jnp.arange(num_epochs) if need_t else None,
+            step_offset + jnp.arange(num_epochs) if need_t else None,
             length=None if need_t else num_epochs,
         )
         return M_f, count_f, mu_f, nu_f, history
@@ -671,7 +681,7 @@ def _fit_1d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
 def _fit_2d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
             compute_dtype, constrained, opt_state=None,
             return_opt_state=False, val_data=None, val_each=None,
-            donate=False):
+            donate=False, step_offset=0):
     constr = constrained
     M0 = params[0] if constr else params
     cshards, sshards = mesh.shape["cell"], mesh.shape["spot"]
@@ -778,8 +788,9 @@ def _fit_2d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
         ex = dict(zip(extra_names, extras))
         lr_l = ex.get("lr")
 
+        # absolute epoch index in t; chunk-relative lr indexing (see _fit_1d)
         def lr_at(t):
-            return learning_rate if lr_l is None else lr_l[t]
+            return learning_rate if lr_l is None else lr_l[t - step_offset]
 
         ct_l = ex.get("ct")
         if constr:
@@ -828,7 +839,8 @@ def _fit_2d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
             (M_f, F_f, count_f, mu_f, nu_f, muF_f, nuF_f, _), history = (
                 jax.lax.scan(
                     step, (M_local, F_l, count, mu, nu, muF, nuF, stats_l),
-                    jnp.arange(num_epochs) if lr_l is not None else None,
+                    step_offset + jnp.arange(num_epochs)
+                    if lr_l is not None else None,
                     length=None if lr_l is not None else num_epochs,
                 )
             )
@@ -849,7 +861,7 @@ def _fit_2d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
 
         (M_f, count_f, mu_f, nu_f, _), history = jax.lax.scan(
             step, (M_local, count, mu, nu, stats_l),
-            jnp.arange(num_epochs) if need_t else None,
+            step_offset + jnp.arange(num_epochs) if need_t else None,
             length=None if need_t else num_epochs,
         )
         return M_f, count_f, mu_f, nu_f, history

@@ -135,3 +135,83 @@ def test_constrained_prints_stream_per_chunk(problem, capsys):
     np.testing.assert_allclose(out_c, out_1, atol=1e-6)
     np.testing.assert_allclose(F_c, F_1, atol=1e-6)
     np.testing.assert_allclose(hist_c["total_loss"], hist_1["total_loss"], rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# mesh-path UX parity: score lines stream live on sharded training too
+# ---------------------------------------------------------------------------
+
+
+def _cell_mesh(n=4):
+    import jax
+    from jax.sharding import Mesh
+
+    return Mesh(np.asarray(jax.devices()[:n]).reshape(-1), axis_names=("cell",))
+
+
+def test_mesh_prints_stream_and_match_single_device(problem, capsys):
+    """print_each on a mesh chunks the sharded scan: lines stream per chunk
+    and the result matches the single-device run."""
+    S, G, d = problem
+    m = Mapper(S=S, G=G, d=d, lambda_d=1.0, random_state=2, mesh=_cell_mesh())
+    out_m, hist_m = m.train(num_epochs=20, learning_rate=0.1, print_each=10)
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) == 2  # epochs 0 and 10
+    assert lines[0].startswith("Gene-voxel score:")
+
+    m1 = Mapper(S=S, G=G, d=d, lambda_d=1.0, random_state=2)
+    out_1, hist_1 = m1.train(num_epochs=20, learning_rate=0.1, print_each=None)
+    np.testing.assert_allclose(out_m, out_1, atol=2e-5)
+    np.testing.assert_allclose(
+        hist_m["main_loss"], hist_1["main_loss"], atol=2e-4
+    )
+
+
+def test_mesh_val_cadence_survives_print_chunking(problem):
+    """val_each that does not divide print_each: the sharded scan carries
+    the absolute epoch index (step_offset), so validation happens at epochs
+    0, 7, 14 — not restarting at each chunk boundary."""
+    S, G, d = problem
+    m = Mapper(S=S, G=G, random_state=2, mesh=_cell_mesh())
+    _, hist = m.train(num_epochs=20, learning_rate=0.1, print_each=10,
+                      val_each=7)
+    assert len(hist["val_gene_sim"]) == 3  # epochs 0, 7, 14
+    assert np.isfinite(hist["val_gene_sim"]).all()
+
+    m1 = Mapper(S=S, G=G, random_state=2)
+    _, hist1 = m1.train(num_epochs=20, learning_rate=0.1, print_each=None,
+                        val_each=7)
+    np.testing.assert_allclose(
+        hist["val_gene_sim"], hist1["val_gene_sim"], atol=2e-4
+    )
+
+
+def test_mesh_early_stop_any_val_cadence(problem):
+    """early_stop_window need not be a multiple of val_each on a mesh
+    anymore (round-2 restriction lifted via step_offset)."""
+    S, G, d = problem
+    m = Mapper(S=S, G=G, random_state=2, mesh=_cell_mesh())
+    out, hist = m.train(num_epochs=24, learning_rate=0.1, print_each=None,
+                        val_each=3, early_stop_tol=0.0, early_stop_window=10)
+    epochs_run = len(hist["main_loss"])
+    assert epochs_run <= 24
+    vals = np.asarray(hist["val_gene_sim"])
+    assert len(vals) == len(range(0, epochs_run, 3))
+    assert np.isfinite(vals).all()
+
+
+def test_constrained_mesh_prints_stream(problem, capsys):
+    S, G, d = problem
+    mc = MapperConstrained(S=S, G=G, d=d, target_count=6, random_state=2,
+                           mesh=_cell_mesh())
+    out_c, F_c, hist_c = mc.train(num_epochs=20, learning_rate=0.1,
+                                  print_each=10)
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) == 2
+    assert lines[0].startswith("Score:")
+
+    mc1 = MapperConstrained(S=S, G=G, d=d, target_count=6, random_state=2)
+    out_1, F_1, _ = mc1.train(num_epochs=20, learning_rate=0.1,
+                              print_each=None)
+    np.testing.assert_allclose(out_c, out_1, atol=2e-5)
+    np.testing.assert_allclose(F_c, F_1, atol=2e-5)
