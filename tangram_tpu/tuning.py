@@ -259,6 +259,97 @@ def train_multiple_Mapper(config, data):
     return report.iloc[0].to_dict()
 
 
+class _PopulationSetup:
+    """Device arrays + repeat inits shared by every tuner search mode."""
+
+    def __init__(self, S, G, d, voxel_weights, neighborhood_filter,
+                 ct_encode, spatial_weights, train_genes_idx, val_genes_idx):
+        import jax.numpy as jnp
+
+        from .models.mapper import init_logits
+
+        n_cells, n_spots = S.shape[0], G.shape[0]
+        g_all = S.shape[1]
+        train_mask = np.zeros(g_all, np.float32)
+        train_mask[np.asarray(train_genes_idx)] = 1.0
+        self.train_mask = train_mask
+        self.val_genes_idx = val_genes_idx
+        self.S = S
+
+        self.S_dev = jnp.asarray(S)
+        self.G_dev = jnp.asarray(G)
+        arrays = (
+            self.S_dev,
+            self.G_dev,
+            jnp.asarray(d, dtype=jnp.float32),
+            jnp.asarray(train_mask),
+            jnp.asarray(np.asarray(voxel_weights), dtype=jnp.float32),
+            jnp.asarray(np.asarray(neighborhood_filter), dtype=jnp.float32),
+            jnp.asarray(np.asarray(ct_encode), dtype=jnp.float32),
+            jnp.asarray(np.asarray(spatial_weights), dtype=jnp.float32),
+        )
+
+        # Getis-Ord reference on the (masked) training genes
+        Gm = np.asarray(G) * train_mask[None, :]
+        getis_ref = (np.asarray(spatial_weights) @ Gm) / np.maximum(
+            Gm.sum(axis=0), 1e-30
+        )
+        self.arrays = arrays + (jnp.asarray(getis_ref, dtype=jnp.float32),)
+
+        # Repeat-run inits reproduce the reference stream exactly: run r
+        # passes random_state=r to the Mapper
+        # (mapping_parameter_tuning.py:121), and random_state=0 is falsy
+        # there, so run 0 continues the ambient numpy stream while runs 1, 2
+        # reseed — init_logits('numpy') has the same semantics, making the 5
+        # stability metrics comparable run-for-run with the reference tuner
+        # (tests/test_tuning.py pins this).
+        self.M0s = jnp.stack(
+            [init_logits(n_cells, n_spots, r, "auto") for r in range(N_REPEATS)]
+        )
+
+        self.lam_keys = [
+            k for k in TUNABLE_KEYS
+            if k not in ("learning_rate", "lr_peak", "lr_end", "num_epochs")
+        ]
+
+    def lam_matrix(self, configs, idxs):
+        import jax.numpy as jnp
+
+        return jnp.asarray(
+            [[float(configs[i].get(k, 0.0)) for k in self.lam_keys]
+             for i in idxs],
+            dtype=jnp.float32,
+        )
+
+    def lr_vectors(self, configs, idxs):
+        import jax.numpy as jnp
+
+        peaks, ends = [], []
+        for i in idxs:
+            pk = float(
+                configs[i].get("lr_peak", configs[i].get("learning_rate", 0.1))
+            )
+            peaks.append(pk)
+            ends.append(float(configs[i].get("lr_end", pk)))
+        return (jnp.asarray(peaks, dtype=jnp.float32),
+                jnp.asarray(ends, dtype=jnp.float32))
+
+    def metrics_row(self, cube, val_scores_row):
+        """The reference tuner's 5 reported metrics for one trial
+        (mapping_parameter_tuning.py:135-139) from its repeat-run cube."""
+        gene_cube = np.array(
+            [self.S[:, np.asarray(self.val_genes_idx)].T @ cube[r]
+             for r in range(N_REPEATS)]
+        )
+        return {
+            "cell_map_consistency": float(pearson_corr(cube).mean()),
+            "cell_map_agreement": float(1 - vote_entropy(cube).mean()),
+            "cell_map_certainty": float(1 - consensus_entropy(cube).mean()),
+            "gene_expr_consistency": float(pearson_corr(gene_cube).mean()),
+            "gene_expr_correctness": float(np.mean(val_scores_row)),
+        }
+
+
 def _run_population(
     configs,
     S,
@@ -273,52 +364,21 @@ def _run_population(
     population_batch_size: int = 4,
     verbose: bool = False,
     mesh=None,
+    setup: Optional[_PopulationSetup] = None,
 ):
     import jax
     import jax.numpy as jnp
 
-    from .models.mapper import init_logits, make_adam
+    from .models.mapper import make_adam
     from .ops.losses import val_metrics
 
-    n_cells, n_spots = S.shape[0], G.shape[0]
-    g_all = S.shape[1]
-    train_mask = np.zeros(g_all, np.float32)
-    train_mask[np.asarray(train_genes_idx)] = 1.0
-
-    S_dev = jnp.asarray(S)
-    G_dev = jnp.asarray(G)
-    arrays = (
-        S_dev,
-        G_dev,
-        jnp.asarray(d, dtype=jnp.float32),
-        jnp.asarray(train_mask),
-        jnp.asarray(np.asarray(voxel_weights), dtype=jnp.float32),
-        jnp.asarray(np.asarray(neighborhood_filter), dtype=jnp.float32),
-        jnp.asarray(np.asarray(ct_encode), dtype=jnp.float32),
-        jnp.asarray(np.asarray(spatial_weights), dtype=jnp.float32),
-    )
-
-    # Getis-Ord reference on the (masked) training genes
-    Gm = np.asarray(G) * train_mask[None, :]
-    getis_ref = (np.asarray(spatial_weights) @ Gm) / np.maximum(
-        Gm.sum(axis=0), 1e-30
-    )
-    arrays = arrays + (jnp.asarray(getis_ref, dtype=jnp.float32),)
-
-    # Repeat-run inits reproduce the reference stream exactly: run r passes
-    # random_state=r to the Mapper (mapping_parameter_tuning.py:121), and
-    # random_state=0 is falsy there, so run 0 continues the ambient numpy
-    # stream while runs 1, 2 reseed — init_logits('numpy') has the same
-    # semantics, making the 5 stability metrics comparable run-for-run with
-    # the reference tuner (tests/test_tuning.py pins this).
-    M0s = jnp.stack(
-        [init_logits(n_cells, n_spots, r, "auto") for r in range(N_REPEATS)]
-    )
-
-    lam_keys = [
-        k for k in TUNABLE_KEYS
-        if k not in ("learning_rate", "lr_peak", "lr_end", "num_epochs")
-    ]
+    if setup is None:
+        setup = _PopulationSetup(
+            S, G, d, voxel_weights, neighborhood_filter, ct_encode,
+            spatial_weights, train_genes_idx, val_genes_idx,
+        )
+    arrays, M0s, lam_keys = setup.arrays, setup.M0s, setup.lam_keys
+    S_dev, G_dev, train_mask = setup.S_dev, setup.G_dev, setup.train_mask
 
     def fit_one(lam_vec, lr_peak, lr_end, M0, num_epochs):
         import optax
@@ -377,21 +437,8 @@ def _run_population(
 
         for start in range(0, len(idxs), population_batch_size):
             chunk = idxs[start : start + population_batch_size]
-            lam_mat = jnp.asarray(
-                [[float(configs[i].get(k, 0.0)) for k in lam_keys] for i in chunk],
-                dtype=jnp.float32,
-            )
-            peaks, ends = [], []
-            for i in chunk:
-                pk = float(
-                    configs[i].get(
-                        "lr_peak", configs[i].get("learning_rate", 0.1)
-                    )
-                )
-                peaks.append(pk)
-                ends.append(float(configs[i].get("lr_end", pk)))
-            lr_peaks = jnp.asarray(peaks, dtype=jnp.float32)
-            lr_ends = jnp.asarray(ends, dtype=jnp.float32)
+            lam_mat = setup.lam_matrix(configs, chunk)
+            lr_peaks, lr_ends = setup.lr_vectors(configs, chunk)
             if mesh is not None and len(chunk) % mesh.devices.size == 0:
                 # trial data parallelism: each device trains its own configs
                 # (the TPU-native replacement for Ray's process-per-trial)
@@ -403,19 +450,8 @@ def _run_population(
             val_scores = np.asarray(val_scores)
 
             for row, i in enumerate(chunk):
-                cube = Ps[row]
-                gene_cube = np.array(
-                    [S[:, np.asarray(val_genes_idx)].T @ cube[r] for r in range(N_REPEATS)]
-                )
                 results.append(
-                    {
-                        "_index": i,
-                        "cell_map_consistency": float(pearson_corr(cube).mean()),
-                        "cell_map_agreement": float(1 - vote_entropy(cube).mean()),
-                        "cell_map_certainty": float(1 - consensus_entropy(cube).mean()),
-                        "gene_expr_consistency": float(pearson_corr(gene_cube).mean()),
-                        "gene_expr_correctness": float(val_scores[row].mean()),
-                    }
+                    {"_index": i, **setup.metrics_row(Ps[row], val_scores[row])}
                 )
             if verbose:
                 logging.info("tuner: %d/%d trials done", len(results), len(configs))
@@ -423,6 +459,166 @@ def _run_population(
     results.sort(key=lambda r: r["_index"])
     df = pd.DataFrame(results).drop(columns="_index")
     return df
+
+
+def _halving_rungs(n_trials: int, total_epochs: int, eta: int):
+    """Cumulative (epoch_target, n_survivors_into_rung) pairs for batched
+    successive halving: rung k trains the surviving n/eta^k configs up to
+    total/eta^(K-k) epochs, the final rung to the full budget. Total epochs
+    spent ≈ (K/eta + 1)·total — a fraction of the n·total a full sweep
+    costs."""
+    K = 0
+    while eta ** (K + 1) <= n_trials:
+        K += 1
+    rungs = []
+    for k in range(K + 1):
+        target = max(1, int(round(total_epochs / eta ** (K - k))))
+        survivors = max(1, int(np.ceil(n_trials / eta ** k)))
+        rungs.append((target, survivors))
+    # strictly increasing targets; the last always reaches the full budget
+    out = []
+    for target, survivors in rungs:
+        if out and target <= out[-1][0]:
+            continue
+        out.append((target, survivors))
+    out[-1] = (total_epochs, out[-1][1])
+    return out
+
+
+def _run_halving(
+    configs,
+    metric,
+    setup: _PopulationSetup,
+    num_epochs: int,
+    eta: int = 3,
+    verbose: bool = False,
+):
+    """Batched successive halving with epoch reallocation (the scheduler
+    side of the reference's Ray stack — `tune.Tuner` + a pruning scheduler):
+    all trials train together as one vmapped program in rung-sized chunks
+    with carried Adam state; after each rung only the top 1/eta by the
+    selected metrics keep training. Multi-metric selection uses
+    nondomination rank + crowding (as the adaptive TPE split does).
+
+    Returns a row per trial with the 5 metrics at its last rung plus a
+    ``trained_epochs`` column.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from .models.mapper import make_adam
+    from .ops.losses import val_metrics
+
+    arrays, M0s, lam_keys = setup.arrays, setup.M0s, setup.lam_keys
+    S_dev, G_dev, train_mask = setup.S_dev, setup.G_dev, setup.train_mask
+    mask_dev = jnp.asarray(train_mask)
+    n = len(configs)
+
+    def fit_chunk(lam_vec, lr_peak, lr_end, M, count, mu, nu, start, steps):
+        """Continue one run for `steps` epochs from absolute epoch `start`
+        (the cosine schedule spans the FULL num_epochs budget, so partial
+        training follows the same trajectory a full run would)."""
+        lam = {k: lam_vec[i] for i, k in enumerate(lam_keys)}
+        optimizer = make_adam(1.0)
+        template = optimizer.init(M)
+        opt_state = (
+            template[0]._replace(count=count, mu=mu, nu=nu),
+        ) + tuple(template[1:])
+
+        def step(carry, t):
+            M, opt_state = carry
+            from .ops.schedules import cosine_value
+
+            lr_t = cosine_value(t, lr_peak, lr_end, num_epochs, xp=jnp)
+            grads = jax.grad(lambda m: _tuner_loss(m, lam, arrays)[0])(M)
+            updates, opt_state = optimizer.update(grads, opt_state, M)
+            updates = jax.tree.map(lambda u: u * lr_t, updates)
+            return (optax.apply_updates(M, updates), opt_state), None
+
+        (M, opt_state), _ = jax.lax.scan(
+            step, (M, opt_state),
+            start + jnp.arange(steps, dtype=jnp.float32),
+        )
+        adam = opt_state[0]
+        P = jax.nn.softmax(M, axis=1)
+        vm = val_metrics(M, S_dev, G_dev, gene_mask=mask_dev, impl="xla")
+        return M, adam.count, adam.mu, adam.nu, P, vm["val_gene_sim"]
+
+    fit_batched = jax.jit(
+        jax.vmap(  # configs
+            jax.vmap(  # repeats
+                fit_chunk,
+                in_axes=(None, None, None, 0, 0, 0, 0, None, None),
+            ),
+            in_axes=(0, 0, 0, 0, 0, 0, 0, None, None),
+        ),
+        static_argnums=(8,),
+    )
+
+    lam_mat = setup.lam_matrix(configs, range(n))
+    lr_peaks, lr_ends = setup.lr_vectors(configs, range(n))
+    M = jnp.broadcast_to(M0s[None], (n,) + M0s.shape)
+    count = jnp.zeros((n, N_REPEATS), jnp.int32)
+    mu = jnp.zeros_like(M)
+    nu = jnp.zeros_like(M)
+
+    # `alive` holds global trial indices in the same order as the batch
+    # arrays' leading axis; eliminations gather the survivor rows in place
+    alive = np.arange(n)
+    rows = [None] * n
+    trained = np.zeros(n, dtype=int)
+    done = 0
+    for target, survivors in _halving_rungs(n, int(num_epochs), int(eta)):
+        keep = min(survivors, len(alive))
+        if keep < len(alive):
+            order = _select_order(
+                np.asarray([[rows[i][m] for m in metric] for i in alive])
+            )
+            sel = np.sort(order[:keep])  # batch positions of the survivors
+            alive = alive[sel]
+            sel_dev = jnp.asarray(sel)
+            lam_mat, lr_peaks, lr_ends = (
+                lam_mat[sel_dev], lr_peaks[sel_dev], lr_ends[sel_dev]
+            )
+            M, count, mu, nu = (
+                M[sel_dev], count[sel_dev], mu[sel_dev], nu[sel_dev]
+            )
+        steps = target - done
+        M, count, mu, nu, Ps, val_scores = fit_batched(
+            lam_mat, lr_peaks, lr_ends, M, count, mu, nu,
+            jnp.float32(done), int(steps),
+        )
+        Ps_h = np.asarray(Ps)
+        val_h = np.asarray(val_scores)
+        done = target
+        for row, i in enumerate(alive):
+            rows[i] = setup.metrics_row(Ps_h[row], val_h[row])
+            trained[i] = done
+        if verbose:
+            logging.info(
+                "halving: %d configs at %d/%d epochs", len(alive), done,
+                num_epochs,
+            )
+
+    df = pd.DataFrame(rows)
+    df["trained_epochs"] = trained
+    return df
+
+
+def _select_order(Y: np.ndarray) -> np.ndarray:
+    """Trial ordering, best first, by the selected (maximized) metrics:
+    plain sort for one metric; nondomination rank then normalized-sum
+    crowding for several (the same split rule the TPE sampler uses)."""
+    if Y.shape[1] == 1:
+        return np.argsort(-Y[:, 0], kind="stable")
+    from .search import nondominated_rank
+
+    rank = nondominated_rank(Y)
+    lo, hi = Y.min(axis=0), Y.max(axis=0)
+    span = np.where(hi > lo, hi - lo, 1.0)
+    crowd = ((Y - lo) / span).sum(axis=1)
+    return np.lexsort((-crowd, rank))
 
 
 # ---------------------------------------------------------------------------
@@ -469,6 +665,7 @@ def mapping_hyperparameter_tuning(
     verbose: bool = False,
     mesh=None,
     search: str = "sobol",
+    halving_eta: int = 3,
 ) -> TunerResult:
     """Tune mapping hyperparameters (reference ``:141-272``).
 
@@ -486,12 +683,20 @@ def mapping_hyperparameter_tuning(
       reaches the best region in a fraction of the Sobol budget
       (tests/test_adaptive_search.py pins ≤ 1/4 on a seeded objective);
       each round is still one vmapped on-device batch.
+    * ``"halving"`` — batched successive halving (the scheduler/pruning
+      side of the Ray stack): every trial trains in the SAME vmapped
+      program, in rung-sized epoch chunks with carried Adam state; after
+      each rung only the top ``1/halving_eta`` by the selected metrics
+      keep training, so the full epoch budget concentrates on promising
+      configurations (total cost ≈ (1 + K/eta)·num_epochs instead of
+      n·num_epochs). Requires a fixed ``num_epochs`` in ``config``; the
+      result gains a ``trained_epochs`` column.
 
-    Ray is not required for either mode.
+    Ray is not required for any mode.
     """
     del device
-    if search not in ("sobol", "adaptive"):
-        raise ValueError('search must be "sobol" or "adaptive"')
+    if search not in ("sobol", "adaptive", "halving"):
+        raise ValueError('search must be "sobol", "adaptive" or "halving"')
 
     if (type(density_prior) is str) and (
         density_prior not in ["rna_count_based", "uniform", None]
@@ -568,6 +773,10 @@ def mapping_hyperparameter_tuning(
 
     domains = {k: _coerce_domain(v) for k, v in config.items()}
 
+    setup = _PopulationSetup(
+        S, G, d, voxel_weights, neighborhood_filter, ct_encode,
+        spatial_weights, train_genes_idx, val_genes_idx,
+    )
     population_kwargs = dict(
         S=S,
         G=G,
@@ -581,6 +790,7 @@ def mapping_hyperparameter_tuning(
         population_batch_size=population_batch_size,
         verbose=verbose,
         mesh=mesh,
+        setup=setup,
     )
 
     def from_unit_rows(unit_rows):
@@ -614,6 +824,27 @@ def mapping_hyperparameter_tuning(
                     tuner_num_samples,
                 )
         df = pd.concat(frames, ignore_index=True)
+    elif search == "halving" and domains:
+        # batched successive halving: Sobol-sample the population, then
+        # reallocate the epoch budget to the metric-best survivors
+        num_epochs = config.get("num_epochs", 1000)
+        if not isinstance(num_epochs, (int, float)) or isinstance(
+            num_epochs, bool
+        ):
+            raise ValueError(
+                'search="halving" requires a FIXED num_epochs in config — '
+                "the halving schedule reallocates epochs itself"
+            )
+        from scipy.stats import qmc
+
+        sampler = qmc.Sobol(
+            d=max(len(domains), 1), scramble=True, seed=random_state
+        )
+        configs = from_unit_rows(sampler.random(tuner_num_samples))
+        df = _run_halving(
+            configs, list(metric), setup, int(num_epochs),
+            eta=int(halving_eta), verbose=verbose,
+        )
     else:
         # scrambled Sobol over the search space, one population
         from scipy.stats import qmc

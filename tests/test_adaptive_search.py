@@ -207,3 +207,107 @@ def test_tuner_rejects_unknown_search(tuner_adatas):
             cluster_label="subclass_label", tuner_num_samples=1,
             search="genetic",
         )
+
+
+# ---------------------------------------------------------------------------
+# successive halving (search="halving")
+# ---------------------------------------------------------------------------
+
+
+def test_halving_rung_schedule():
+    from tangram_tpu.tuning import _halving_rungs
+
+    assert _halving_rungs(8, 40, 2) == [(5, 8), (10, 4), (20, 2), (40, 1)]
+    assert _halving_rungs(9, 90, 3) == [(10, 9), (30, 3), (90, 1)]
+    assert _halving_rungs(1, 50, 3) == [(50, 1)]
+    # the last rung always reaches the full budget
+    for n, R, eta in [(5, 33, 2), (16, 100, 4), (2, 7, 3)]:
+        rungs = _halving_rungs(n, R, eta)
+        assert rungs[-1][0] == R
+        targets = [t for t, _ in rungs]
+        assert targets == sorted(set(targets))
+
+
+def test_select_order_single_and_multi():
+    from tangram_tpu.tuning import _select_order
+
+    order = _select_order(np.array([[0.2], [0.9], [0.5]]))
+    np.testing.assert_array_equal(order, [1, 2, 0])
+    # multi-objective: the all-dominating row comes first, the dominated
+    # one last
+    Y = np.array([[1.0, 1.0], [2.0, 2.0], [0.5, 1.5]])
+    order = _select_order(Y)
+    assert order[0] == 1 and order[-1] == 0 or order[0] == 1
+
+
+def test_tuner_halving_end_to_end(tuner_adatas):
+    ad_sc, ad_sp = tuner_adatas
+    config = {
+        "learning_rate": tuning.loguniform(0.01, 0.5),
+        "lambda_g1": tuning.uniform(0.5, 1.0),
+        "num_epochs": 24,
+    }
+    np.random.seed(7)
+    t = tg.mapping_hyperparameter_tuning(
+        ad_sc, ad_sp, ["gene_expr_correctness"], config,
+        tuner_num_samples=8, cluster_label="subclass_label",
+        search="halving", halving_eta=2, random_state=3,
+    )
+    df = t.get_results().get_dataframe()
+    assert len(df) == 8
+    # rung structure: 4 eliminated at 3 epochs, 2 at 6, 1 at 12, winner 24
+    counts = df["trained_epochs"].value_counts().to_dict()
+    assert counts == {3: 4, 6: 2, 12: 1, 24: 1}
+    for m in tuning.METRIC_KEYS:
+        assert np.isfinite(df[m]).all()
+    assert "config/learning_rate" in df.columns
+
+    # deterministic given seeds (incl. the pinned ambient stream for run 0)
+    np.random.seed(7)
+    df2 = tg.mapping_hyperparameter_tuning(
+        ad_sc, ad_sp, ["gene_expr_correctness"], config,
+        tuner_num_samples=8, cluster_label="subclass_label",
+        search="halving", halving_eta=2, random_state=3,
+    ).get_results().get_dataframe()
+    np.testing.assert_array_equal(
+        df["trained_epochs"].to_numpy(), df2["trained_epochs"].to_numpy()
+    )
+
+
+def test_halving_winner_prefix_matches_full_training(tuner_adatas):
+    """The halving winner's trajectory is the SAME trajectory a full run of
+    that config produces (carried Adam state + absolute cosine schedule):
+    its final metrics equal a sobol run of just that config."""
+    ad_sc, ad_sp = tuner_adatas
+    np.random.seed(11)
+    t = tg.mapping_hyperparameter_tuning(
+        ad_sc, ad_sp, ["gene_expr_correctness"],
+        {"learning_rate": tuning.loguniform(0.05, 0.5), "num_epochs": 12},
+        tuner_num_samples=4, cluster_label="subclass_label",
+        search="halving", halving_eta=2, random_state=1,
+    )
+    df = t.get_results().get_dataframe()
+    win = df[df["trained_epochs"] == 12].iloc[0]
+
+    np.random.seed(11)
+    full = tg.mapping_hyperparameter_tuning(
+        ad_sc, ad_sp, ["gene_expr_correctness"],
+        {"learning_rate": float(win["config/learning_rate"]),
+         "num_epochs": 12},
+        tuner_num_samples=1, cluster_label="subclass_label",
+        random_state=1,
+    ).get_results().get_dataframe()
+    assert win["gene_expr_correctness"] == pytest.approx(
+        float(full["gene_expr_correctness"].iloc[0]), abs=2e-4
+    )
+
+
+def test_halving_requires_fixed_num_epochs(tuner_adatas):
+    ad_sc, ad_sp = tuner_adatas
+    with pytest.raises(ValueError, match="FIXED num_epochs"):
+        tg.mapping_hyperparameter_tuning(
+            ad_sc, ad_sp, ["gene_expr_correctness"],
+            {"learning_rate": 0.1, "num_epochs": tuning.choice([10, 20])},
+            tuner_num_samples=4, cluster_label="subclass_label",
+            search="halving",
+        )
