@@ -311,6 +311,65 @@ class _PopulationSetup:
             k for k in TUNABLE_KEYS
             if k not in ("learning_rate", "lr_peak", "lr_end", "num_epochs")
         ]
+        self._fit_cache = {}
+
+    def fit_batched(self, num_epochs: int):
+        """The jitted (configs × repeats) population trainer for a scan
+        length, cached per num_epochs — the adaptive search calls this every
+        ask/tell round and must reuse one compiled program instead of
+        re-tracing an identical one per round."""
+        num_epochs = int(num_epochs)
+        if num_epochs in self._fit_cache:
+            return self._fit_cache[num_epochs]
+
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from .models.mapper import make_adam
+        from .ops.losses import val_metrics
+        from .ops.schedules import cosine_value
+
+        arrays, lam_keys = self.arrays, self.lam_keys
+        S_dev, G_dev = self.S_dev, self.G_dev
+        mask_dev = jnp.asarray(self.train_mask)
+
+        def fit_one(lam_vec, lr_peak, lr_end, M0):
+            lam = {k: lam_vec[i] for i, k in enumerate(lam_keys)}
+
+            # adam(1.0) scaled by the per-epoch cosine lr is bit-identical
+            # to adam(lr) when lr_peak == lr_end (constant — the reference
+            # setup)
+            optimizer = make_adam(1.0)
+            opt_state = optimizer.init(M0)
+
+            def step(carry, t):
+                M, opt_state = carry
+                lr_t = cosine_value(t, lr_peak, lr_end, num_epochs, xp=jnp)
+                grads = jax.grad(
+                    lambda m: _tuner_loss(m, lam, arrays)[0]
+                )(M)
+                updates, opt_state = optimizer.update(grads, opt_state, M)
+                updates = jax.tree.map(lambda u: u * lr_t, updates)
+                return (optax.apply_updates(M, updates), opt_state), None
+
+            (M, _), _ = jax.lax.scan(
+                step, (M0, opt_state),
+                jnp.arange(num_epochs, dtype=jnp.float32),
+            )
+            P = jax.nn.softmax(M, axis=1)
+            # reference quirk: _val_loss_fn evaluates on the train split
+            vm = val_metrics(M, S_dev, G_dev, gene_mask=mask_dev, impl="xla")
+            return P, vm["val_gene_sim"]
+
+        fn = jax.jit(
+            jax.vmap(  # over configs
+                jax.vmap(fit_one, in_axes=(None, None, None, 0)),  # repeats
+                in_axes=(0, 0, 0, None),
+            )
+        )
+        self._fit_cache[num_epochs] = fn
+        return fn
 
     def lam_matrix(self, configs, idxs):
         import jax.numpy as jnp
@@ -367,48 +426,13 @@ def _run_population(
     setup: Optional[_PopulationSetup] = None,
 ):
     import jax
-    import jax.numpy as jnp
-
-    from .models.mapper import make_adam
-    from .ops.losses import val_metrics
 
     if setup is None:
         setup = _PopulationSetup(
             S, G, d, voxel_weights, neighborhood_filter, ct_encode,
             spatial_weights, train_genes_idx, val_genes_idx,
         )
-    arrays, M0s, lam_keys = setup.arrays, setup.M0s, setup.lam_keys
-    S_dev, G_dev, train_mask = setup.S_dev, setup.G_dev, setup.train_mask
-
-    def fit_one(lam_vec, lr_peak, lr_end, M0, num_epochs):
-        import optax
-
-        lam = {k: lam_vec[i] for i, k in enumerate(lam_keys)}
-        data_arrays = arrays
-
-        # adam(1.0) scaled by the per-epoch cosine lr is bit-identical to
-        # adam(lr) when lr_peak == lr_end (constant — the reference setup)
-        optimizer = make_adam(1.0)
-        opt_state = optimizer.init(M0)
-
-        def step(carry, t):
-            M, opt_state = carry
-            from .ops.schedules import cosine_value
-
-            lr_t = cosine_value(t, lr_peak, lr_end, num_epochs, xp=jnp)
-            grads = jax.grad(lambda m: _tuner_loss(m, lam, data_arrays)[0])(M)
-            updates, opt_state = optimizer.update(grads, opt_state, M)
-            updates = jax.tree.map(lambda u: u * lr_t, updates)
-            return (optax.apply_updates(M, updates), opt_state), None
-
-        (M, _), _ = jax.lax.scan(
-            step, (M0, opt_state), jnp.arange(num_epochs, dtype=jnp.float32)
-        )
-        P = jax.nn.softmax(M, axis=1)
-        # reference quirk: _val_loss_fn evaluates on the train split
-        vm = val_metrics(M, S_dev, G_dev, gene_mask=jnp.asarray(train_mask),
-                         impl="xla")
-        return P, vm["val_gene_sim"]
+    M0s = setup.M0s
 
     results = []
     # group configs by num_epochs (static scan length)
@@ -417,17 +441,7 @@ def _run_population(
         by_epochs.setdefault(int(cfg.get("num_epochs", 1000)), []).append(idx)
 
     for num_epochs, idxs in by_epochs.items():
-        fit_batched = jax.jit(
-            jax.vmap(  # over configs
-                jax.vmap(  # over repeats
-                    lambda lam_vec, pk, end, M0: fit_one(
-                        lam_vec, pk, end, M0, num_epochs
-                    ),
-                    in_axes=(None, None, None, 0),
-                ),
-                in_axes=(0, 0, 0, None),
-            )
-        )
+        fit_batched = setup.fit_batched(num_epochs)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
