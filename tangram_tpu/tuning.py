@@ -711,6 +711,8 @@ def mapping_hyperparameter_tuning(
     del device
     if search not in ("sobol", "adaptive", "halving"):
         raise ValueError('search must be "sobol", "adaptive" or "halving"')
+    if search == "halving" and int(halving_eta) < 2:
+        raise ValueError("halving_eta must be >= 2")
 
     if (type(density_prior) is str) and (
         density_prior not in ["rna_count_based", "uniform", None]

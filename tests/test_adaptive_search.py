@@ -311,3 +311,16 @@ def test_halving_requires_fixed_num_epochs(tuner_adatas):
             tuner_num_samples=4, cluster_label="subclass_label",
             search="halving",
         )
+
+
+def test_halving_rejects_degenerate_eta(tuner_adatas):
+    """eta < 2 would never eliminate anything (and eta=1 would loop
+    forever in the rung builder) — reject it up front."""
+    ad_sc, ad_sp = tuner_adatas
+    with pytest.raises(ValueError, match="halving_eta"):
+        tg.mapping_hyperparameter_tuning(
+            ad_sc, ad_sp, ["gene_expr_correctness"],
+            {"learning_rate": 0.1, "num_epochs": 10},
+            tuner_num_samples=4, cluster_label="subclass_label",
+            search="halving", halving_eta=1,
+        )
