@@ -91,6 +91,30 @@ def run(seed: int, n_trials: int) -> int:
         p_s, h_s = fit_mapping_fused_sharded(raw0, data, lw, epochs, lr,
                                              mesh=mesh)
 
+        # chunked sharded run — the mesh print-streaming / early-stop path:
+        # random chunk boundaries, Adam state carried, step_offset keeping
+        # the absolute epoch (lr vectors sliced per chunk). Must reproduce
+        # the single-scan trajectory.
+        if epochs > 2:
+            n_cuts = int(rng.integers(1, min(3, epochs - 1) + 1))
+            cuts = np.sort(rng.choice(
+                np.arange(1, epochs), size=n_cuts, replace=False
+            ))
+            p_c, opt_state, losses, start = raw0, None, [], 0
+            for b in [*cuts.tolist(), epochs]:
+                chunk = b - start
+                lr_chunk = lr[start:b] if np.ndim(lr) == 1 else lr
+                p_c, opt_state, hc = fit_mapping_fused_sharded(
+                    p_c, data, lw, chunk, lr_chunk, mesh=mesh,
+                    opt_state=opt_state, return_opt_state=True,
+                    step_offset=start,
+                )
+                losses.append(np.asarray(hc["total_loss"]))
+                start = b
+            h_c = {"total_loss": np.concatenate(losses)}
+        else:
+            p_c, h_c = p_s, h_s
+
         # Param tolerance is lr-aware: Adam's first step is ~lr*g/(|g|+eps),
         # so entries whose true gradient is near zero amplify benign
         # reduction-order noise into O(lr*1e-2) param differences. The loss
@@ -98,7 +122,8 @@ def run(seed: int, n_trials: int) -> int:
         lr_max = float(np.max(lr))
         param_tol = 2e-3 + 0.02 * lr_max
         ok = True
-        pairs = [("pallas-vs-xla", p_p, p_x), ("sharded-vs-pallas", p_s, p_p)]
+        pairs = [("pallas-vs-xla", p_p, p_x), ("sharded-vs-pallas", p_s, p_p),
+                 ("chunked-vs-sharded", p_c, p_s)]
         for name, a, b in pairs:
             for leaf_a, leaf_b in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
                 diff = float(np.max(np.abs(np.asarray(leaf_a) - np.asarray(leaf_b))))
@@ -112,7 +137,8 @@ def run(seed: int, n_trials: int) -> int:
                           f"lw={lw}")
                     ok = False
         for name, ha, hb in [("loss pallas-vs-xla", h_p, h_x),
-                             ("loss sharded-vs-pallas", h_s, h_p)]:
+                             ("loss sharded-vs-pallas", h_s, h_p),
+                             ("loss chunked-vs-sharded", h_c, h_s)]:
             dl = float(np.max(np.abs(np.asarray(ha["total_loss"]) -
                                      np.asarray(hb["total_loss"]))))
             if not np.isfinite(dl) or dl > 1e-3:

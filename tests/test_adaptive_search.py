@@ -324,3 +324,32 @@ def test_halving_rejects_degenerate_eta(tuner_adatas):
             tuner_num_samples=4, cluster_label="subclass_label",
             search="halving", halving_eta=1,
         )
+
+
+def test_adaptive_search_over_trial_mesh(tuner_adatas):
+    """search='adaptive' composes with trial data parallelism: each ask/tell
+    round's batch shards over the mesh and reproduces the single-device
+    scores to training-noise level."""
+    import jax
+    from jax.sharding import Mesh
+
+    ad_sc, ad_sp = tuner_adatas
+    config = {"lambda_g1": 1.0, "lambda_d": tuning.uniform(0.1, 1.0),
+              "num_epochs": 20}
+    kw = dict(
+        metric=["gene_expr_correctness"], config=config,
+        tuner_num_samples=8, cluster_label="subclass_label",
+        density_prior="uniform", random_state=4, population_batch_size=4,
+        search="adaptive",
+    )
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(-1),
+                axis_names=("trial",))
+    np.random.seed(21)
+    base = tg.mapping_hyperparameter_tuning(ad_sc, ad_sp, **kw)
+    np.random.seed(21)
+    sharded = tg.mapping_hyperparameter_tuning(ad_sc, ad_sp, mesh=mesh, **kw)
+    np.testing.assert_allclose(
+        base.get_results().get_dataframe()["gene_expr_correctness"].to_numpy(),
+        sharded.get_results().get_dataframe()["gene_expr_correctness"].to_numpy(),
+        atol=2e-3,
+    )
