@@ -324,6 +324,13 @@ def main():
             # then add the psum model for the (spots × genes) collectives.
             d = make_problem(rng, 12_500, 50_000)
             shard_ms = step_time(d, lw, 12_500, 50_000, impl="pallas", **kwargs)
+            # opt-in bf16 parameter storage halves the M passes' bytes —
+            # the remaining big lever on this memory-bound step (scores
+            # stay within ~1e-3 of f32, see tutorial_bf16_params above)
+            shard_ms_bf16 = step_time(
+                d, lw, 12_500, 50_000, impl="pallas",
+                param_dtype="bfloat16", **kwargs,
+            )
             del d
             gc.collect()
             genes_padded = -(-N_GENES // 128) * 128
@@ -338,6 +345,11 @@ def main():
                 "shape": "100000x50000 on v5e-8, 1-D cell sharding",
                 "per_chip_shard": "12500x50000 (measured on this chip)",
                 "shard_ms_per_step": round(shard_ms, 2),
+                "shard_ms_per_step_bf16_params": round(shard_ms_bf16, 2),
+                "projected_seconds_to_parity_bf16_params": round(
+                    (shard_ms_bf16 + psum_bytes / ICI_BYTES_PER_S * 1e3)
+                    * parity_epoch / 1e3, 3
+                ),
                 "psum_model_ms_per_step": round(psum_ms, 2),
                 "projected_seconds_1000_epochs": round(ns_epoch_ms, 3),
                 "projected_seconds_to_parity": round(ns_parity_s, 3),

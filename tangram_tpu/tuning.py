@@ -704,7 +704,10 @@ def mapping_hyperparameter_tuning(
       keep training, so the full epoch budget concentrates on promising
       configurations (total cost ≈ (1 + K/eta)·num_epochs instead of
       n·num_epochs). Requires a fixed ``num_epochs`` in ``config``; the
-      result gains a ``trained_epochs`` column.
+      result gains a ``trained_epochs`` column. ``mesh`` is ignored in this
+      mode (survivor elimination changes the trial-axis extent every rung,
+      which defeats static trial sharding — use ``"sobol"``/``"adaptive"``
+      for trial data parallelism).
 
     Ray is not required for any mode.
     """

@@ -144,3 +144,51 @@ def test_grid_graph_is_symmetric():
     spatial_neighbors(ad, coord_type="grid")
     conn = ad.obsp["spatial_connectivities"]
     assert (conn != conn.T).nnz == 0
+
+
+def test_mapping_with_spatial_regularizers_on_grid_graph():
+    """End-to-end: pp_adatas auto-builds the hex-grid graph and
+    map_cells_to_space consumes it through every spatial regularizer."""
+    from tangram_tpu.mapping import map_cells_to_space, pp_adatas
+
+    rng = np.random.default_rng(1)
+    coords = hex_lattice(5, 5)
+    n = coords.shape[0]
+    genes = [f"g{i}" for i in range(8)]
+    ad_sp = adlite.AnnData(
+        X=rng.poisson(3.0, (n, len(genes))).astype(np.float32) + 1.0,
+        obs=pd.DataFrame(index=[f"s{i}" for i in range(n)]),
+        var=pd.DataFrame(index=genes),
+    )
+    ad_sp.obsm["spatial"] = coords
+    ad_sp.uns["spatial"] = {"lib": {}}
+    n_cells = 18
+    ad_sc = adlite.AnnData(
+        X=rng.poisson(2.0, (n_cells, len(genes))).astype(np.float32) + 1.0,
+        obs=pd.DataFrame(
+            {"subclass_label": pd.Categorical(rng.choice(["a", "b"], n_cells))},
+            index=[f"c{i}" for i in range(n_cells)],
+        ),
+        var=pd.DataFrame(index=genes),
+    )
+    pp_adatas(ad_sc, ad_sp)
+    assert degrees(ad_sp).min() < 6  # the hex graph, not generic KNN
+
+    ad_map = map_cells_to_space(
+        ad_sc, ad_sp,
+        mode="cells",
+        density_prior="uniform",
+        num_epochs=15,
+        random_state=1,
+        lambda_neighborhood_g1=0.5,
+        lambda_ct_islands=0.3,
+        lambda_getis_ord=0.2,
+        lambda_moran=0.2,
+        lambda_geary=0.2,
+        cluster_label="subclass_label",
+        verbose=False,
+    )
+    np.testing.assert_allclose(np.asarray(ad_map.X).sum(axis=1), 1.0,
+                               rtol=1e-5)
+    hist = ad_map.uns["training_history"]
+    assert np.isfinite(hist["main_loss"]).all()
