@@ -128,12 +128,23 @@ class TPESampler:
             out[i] = self._ask_one()
         return out
 
+    def _sobol_point(self) -> np.ndarray:
+        import warnings
+
+        with warnings.catch_warnings():
+            # one-at-a-time draws are the ask/tell contract; scipy's
+            # power-of-2 balance advice doesn't apply to a startup stream
+            warnings.filterwarnings(
+                "ignore", message=".*balance properties of Sobol.*"
+            )
+            return np.clip(self._sobol.random(1)[0], 0.0, 1.0)
+
     def _ask_one(self) -> np.ndarray:
         if self.n_observed < self.n_startup:
-            return np.clip(self._sobol.random(1)[0], 0.0, 1.0)
+            return self._sobol_point()
         good, bad = self._split()
         if len(good) == 0 or len(bad) == 0:
-            return np.clip(self._sobol.random(1)[0], 0.0, 1.0)
+            return self._sobol_point()
         cands = self._sample_parzen(good, self.n_ei_candidates)
         score = self._log_parzen(cands, good) - self._log_parzen(cands, bad)
         return cands[int(np.argmax(score))]

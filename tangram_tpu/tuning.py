@@ -818,6 +818,23 @@ def mapping_hyperparameter_tuning(
             for row in unit_rows
         ]
 
+    def sobol_unit_rows(n):
+        import warnings
+
+        from scipy.stats import qmc
+
+        sampler = qmc.Sobol(
+            d=max(len(domains), 1), scramble=True, seed=random_state
+        )
+        with warnings.catch_warnings():
+            # arbitrary trial counts are this API's contract (the reference
+            # accepts any tuner_num_samples); scipy's power-of-2 balance
+            # advice is noise here
+            warnings.filterwarnings(
+                "ignore", message=".*balance properties of Sobol.*"
+            )
+            return sampler.random(n)
+
     if search == "adaptive" and domains:
         # ask/tell TPE rounds: each round is one vmapped on-device batch;
         # the selected `metric` columns are the (maximized) objectives
@@ -854,24 +871,14 @@ def mapping_hyperparameter_tuning(
                 'search="halving" requires a FIXED num_epochs in config — '
                 "the halving schedule reallocates epochs itself"
             )
-        from scipy.stats import qmc
-
-        sampler = qmc.Sobol(
-            d=max(len(domains), 1), scramble=True, seed=random_state
-        )
-        configs = from_unit_rows(sampler.random(tuner_num_samples))
+        configs = from_unit_rows(sobol_unit_rows(tuner_num_samples))
         df = _run_halving(
             configs, list(metric), setup, int(num_epochs),
             eta=int(halving_eta), verbose=verbose,
         )
     else:
         # scrambled Sobol over the search space, one population
-        from scipy.stats import qmc
-
-        sampler = qmc.Sobol(
-            d=max(len(domains), 1), scramble=True, seed=random_state
-        )
-        configs = from_unit_rows(sampler.random(tuner_num_samples))
+        configs = from_unit_rows(sobol_unit_rows(tuner_num_samples))
         df = _run_population(configs=configs, **population_kwargs)
 
     for k in domains:
