@@ -163,25 +163,39 @@ def analyze_hlo(hlo: str, n_devices: int, verbose: bool = False):
             return int(m.group(2))
         return n_devices
 
+    op_re = re.compile(
+        r"=\s+(.*?)\s+(" + "|".join(_COLLECTIVES)
+        + r")(-start|-done)?\(([^)]*)\)"
+    )
+
     def collect(names):
         buf = wire = 0.0
         ops = []
         for cname in names:
             for line in comps[cname].splitlines():
-                m = re.search(r"=\s+(.*?)\s+(" + "|".join(_COLLECTIVES) + r")\(",
-                              line)
+                m = op_re.search(line)
                 if not m:
                     continue
-                op = m.group(2)
-                if "-start" in line or "-done" in line:
-                    # async pairs: count the start only (the done carries the
-                    # same shape)
-                    if "-done" in line:
-                        continue
-                b = _shapes_bytes(m.group(1))
+                result_text, op, suffix, operand_text = m.groups()
+                if suffix == "-done":
+                    # async pairs: count the start only
+                    continue
                 g = group_size(line)
                 if g <= 1:
                     continue  # degenerate single-device "collective"
+                if suffix == "-start":
+                    # a start op's result type is a tuple (operand alias,
+                    # result[, context]) — derive the sync-op result bytes
+                    # from the operand shapes instead of double counting
+                    b_op = _shapes_bytes(operand_text)
+                    if op == "all-gather":
+                        b = b_op * g
+                    elif op == "reduce-scatter":
+                        b = b_op // g
+                    else:
+                        b = b_op
+                else:
+                    b = _shapes_bytes(result_text)
                 w = _wire_bytes(op, b, g)
                 buf += b
                 wire += w

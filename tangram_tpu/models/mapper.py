@@ -423,6 +423,38 @@ def _print_epoch(terms_at_t, names, t=None):
     print(", ".join(msgs))
 
 
+def _train_chunked(run_chunk, params, num_epochs, learning_rate, print_each,
+                   print_names):
+    """Stream score lines live, like the reference's per-epoch loop: run the
+    compiled scan in ``print_each``-sized chunks with the Adam state carried
+    across (bit-exact with one scan; the lr vector and the ``step_offset``
+    cadence are sliced/continued per chunk).
+
+    ``run_chunk(params, opt_state, chunk, lr_chunk, epoch)`` must run
+    ``chunk`` epochs from absolute epoch ``epoch`` and return
+    ``(params, opt_state, history_dict)`` — the one seam between the
+    single-chip and mesh fit functions.
+    """
+    chunks, opt_state, epoch = [], None, 0
+    lr_is_vec = np.ndim(learning_rate) == 1
+    while epoch < num_epochs:
+        chunk = min(int(print_each), num_epochs - epoch)
+        lr_chunk = (
+            learning_rate[epoch:epoch + chunk] if lr_is_vec else learning_rate
+        )
+        params, opt_state, h = run_chunk(params, opt_state, chunk, lr_chunk,
+                                         epoch)
+        h = jax.device_get(h)
+        _print_epoch({k: v[0] for k, v in h.items()}, print_names)
+        chunks.append(h)
+        epoch += chunk
+    history = {
+        k: np.concatenate([np.asarray(h[k]) for h in chunks])
+        for k in chunks[0]
+    }
+    return params, history
+
+
 def _as_history_lists(history, keys, num_epochs):
     out = {}
     for k in keys:
@@ -682,26 +714,15 @@ class Mapper:
                 )
                 history = jax.device_get(history)
             else:
-                chunks, opt_state, epoch = [], None, 0
-                while epoch < num_epochs:
-                    chunk = min(int(print_each), num_epochs - epoch)
-                    lr_chunk = (
-                        learning_rate[epoch:epoch + chunk]
-                        if np.ndim(learning_rate) == 1 else learning_rate
-                    )
-                    params, opt_state, h = fit_mesh(
-                        params, self.data, self.lw, chunk, lr_chunk,
-                        opt_state=opt_state, return_opt_state=True,
-                        step_offset=epoch, **mesh_kw,
-                    )
-                    h = jax.device_get(h)
-                    _print_epoch({k: v[0] for k, v in h.items()}, PRINT_NAMES)
-                    chunks.append(h)
-                    epoch += chunk
-                history = {
-                    k: np.concatenate([np.asarray(h[k]) for h in chunks])
-                    for k in chunks[0]
-                }
+                params, history = _train_chunked(
+                    lambda p, s, c, lr, e: fit_mesh(
+                        p, self.data, self.lw, c, lr,
+                        opt_state=s, return_opt_state=True,
+                        step_offset=e, **mesh_kw,
+                    ),
+                    params, num_epochs, learning_rate, print_each,
+                    PRINT_NAMES,
+                )
             self.M = params
             training_history = _as_history_lists(history, HISTORY_KEYS, num_epochs)
             for k in VAL_KEYS:
@@ -737,26 +758,14 @@ class Mapper:
             )
             history = jax.device_get(history)
         else:
-            chunks = []
-            params, opt_state, epoch = self.M, None, 0
-            while epoch < num_epochs:
-                chunk = min(int(print_each), num_epochs - epoch)
-                chunk_kw = dict(common)
-                if np.ndim(learning_rate) == 1:
-                    chunk_kw["learning_rate"] = learning_rate[epoch:epoch + chunk]
-                params, opt_state, h = fit_mapping(
-                    params, self.data, self.lw, num_epochs=chunk,
-                    opt_state=opt_state, return_opt_state=True,
-                    step_offset=epoch, donate=True, **chunk_kw,
-                )
-                h = jax.device_get(h)
-                _print_epoch({k: v[0] for k, v in h.items()}, PRINT_NAMES)
-                chunks.append(h)
-                epoch += chunk
-            history = {
-                k: np.concatenate([np.asarray(h[k]) for h in chunks])
-                for k in chunks[0]
-            }
+            params, history = _train_chunked(
+                lambda p, s, c, lr, e: fit_mapping(
+                    p, self.data, self.lw, num_epochs=c,
+                    opt_state=s, return_opt_state=True, step_offset=e,
+                    donate=True, **{**common, "learning_rate": lr},
+                ),
+                self.M, num_epochs, learning_rate, print_each, PRINT_NAMES,
+            )
         self.M = params
 
         training_history = _as_history_lists(history, HISTORY_KEYS, num_epochs)
@@ -991,29 +1000,15 @@ class MapperConstrained:
                     **mesh_kw,
                 )
             else:
-                chunks, opt_state, epoch = [], None, 0
-                while epoch < num_epochs:
-                    chunk = min(int(print_each), num_epochs - epoch)
-                    lr_chunk = (
-                        learning_rate[epoch:epoch + chunk]
-                        if np.ndim(learning_rate) == 1 else learning_rate
-                    )
-                    params, opt_state, h = fit_mesh(
-                        params, self.data, self.lw, chunk, lr_chunk,
-                        opt_state=opt_state, return_opt_state=True,
-                        step_offset=epoch, **mesh_kw,
-                    )
-                    h = jax.device_get(h)
-                    _print_epoch(
-                        {k: v[0] for k, v in h.items()},
-                        CONSTRAINED_PRINT_NAMES,
-                    )
-                    chunks.append(h)
-                    epoch += chunk
-                history = {
-                    k: np.concatenate([np.asarray(h[k]) for h in chunks])
-                    for k in chunks[0]
-                }
+                params, history = _train_chunked(
+                    lambda p, s, c, lr, e: fit_mesh(
+                        p, self.data, self.lw, c, lr,
+                        opt_state=s, return_opt_state=True,
+                        step_offset=e, **mesh_kw,
+                    ),
+                    params, num_epochs, learning_rate, print_each,
+                    CONSTRAINED_PRINT_NAMES,
+                )
         else:
             common = dict(
                 learning_rate=learning_rate,
@@ -1032,33 +1027,15 @@ class MapperConstrained:
                 )
                 history = jax.device_get(history)
             else:
-                # stream score lines live, like the reference's per-epoch
-                # loop: run the compiled scan in print_each-sized chunks with
-                # the Adam state carried across (bit-exact with one scan)
-                chunks = []
-                params, opt_state, epoch = (self.M, self.F), None, 0
-                while epoch < num_epochs:
-                    chunk = min(int(print_each), num_epochs - epoch)
-                    chunk_kw = dict(common)
-                    if np.ndim(learning_rate) == 1:
-                        chunk_kw["learning_rate"] = (
-                            learning_rate[epoch:epoch + chunk]
-                        )
-                    params, opt_state, h = fit_mapping(
-                        params, self.data, self.lw, num_epochs=chunk,
-                        opt_state=opt_state, return_opt_state=True,
-                        step_offset=epoch, donate=True, **chunk_kw,
-                    )
-                    h = jax.device_get(h)
-                    _print_epoch(
-                        {k: v[0] for k, v in h.items()}, CONSTRAINED_PRINT_NAMES
-                    )
-                    chunks.append(h)
-                    epoch += chunk
-                history = {
-                    k: np.concatenate([np.asarray(h[k]) for h in chunks])
-                    for k in chunks[0]
-                }
+                params, history = _train_chunked(
+                    lambda p, s, c, lr, e: fit_mapping(
+                        p, self.data, self.lw, num_epochs=c,
+                        opt_state=s, return_opt_state=True, step_offset=e,
+                        donate=True, **{**common, "learning_rate": lr},
+                    ),
+                    (self.M, self.F), num_epochs, learning_rate, print_each,
+                    CONSTRAINED_PRINT_NAMES,
+                )
         self.M, self.F = params
         history = jax.device_get(history)
 

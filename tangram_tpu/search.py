@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["TPESampler", "nondominated_rank"]
+__all__ = ["TPESampler", "nondominated_rank", "pareto_order"]
 
 
 def nondominated_rank(Y: np.ndarray) -> np.ndarray:
@@ -55,6 +55,39 @@ def nondominated_rank(Y: np.ndarray) -> np.ndarray:
         remaining &= ~front
         level += 1
     return rank
+
+
+def pareto_order(Y: np.ndarray) -> np.ndarray:
+    """Row indices of ``Y`` (objectives, maximized), best first.
+
+    Single objective: stable descending sort. Multiple objectives:
+    nondomination rank, ties broken by a normalized objective-sum crowding
+    proxy (the MOTPE split rule). Rows with any non-finite objective sort
+    last, in their original order — a diverged trial never outranks a
+    finite one. Shared by ``TPESampler._split`` and the halving scheduler's
+    survivor selection so the two orderings cannot drift apart.
+    """
+    Y = np.asarray(Y, dtype=np.float64)
+    if Y.ndim == 1:
+        Y = Y[:, None]
+    finite = np.isfinite(Y).all(axis=1)
+    idx_finite = np.flatnonzero(finite)
+    idx_bad = np.flatnonzero(~finite)
+    Yf = Y[finite]
+    if Yf.shape[0] == 0:
+        return idx_bad
+    if Yf.shape[1] == 1:
+        order_f = np.argsort(-Yf[:, 0], kind="stable")
+    else:
+        rank = nondominated_rank(Yf)
+        # within equal ranks, prefer points better on the (normalized)
+        # objective sum — a cheap crowding proxy that keeps the ordering
+        # deterministic
+        lo, hi = Yf.min(axis=0), Yf.max(axis=0)
+        span = np.where(hi > lo, hi - lo, 1.0)
+        crowd = ((Yf - lo) / span).sum(axis=1)
+        order_f = np.lexsort((-crowd, rank))
+    return np.concatenate([idx_finite[order_f], idx_bad])
 
 
 class TPESampler:
@@ -154,27 +187,15 @@ class TPESampler:
     def _split(self):
         """(good, bad) observation coordinates. Single objective: top-γ by
         value. Multi-objective: top-γ by (nondomination rank, then crowding
-        by objective sum) — the MOTPE split."""
-        finite = np.isfinite(self._Y).all(axis=1)
-        X, Y = self._X[finite], self._Y[finite]
-        n = X.shape[0]
+        by objective sum) — the MOTPE split. Non-finite observations enter
+        neither set (``pareto_order`` sorts them last; they are sliced
+        off)."""
+        n = int(np.isfinite(self._Y).all(axis=1).sum())
         if n == 0:
-            return X[:0], X[:0]
+            return self._X[:0], self._X[:0]
+        order = pareto_order(self._Y)[:n]  # finite rows, best first
         n_good = max(1, min(int(np.ceil(self.gamma * n)), self.max_good))
-        if Y.shape[1] == 1:
-            order = np.argsort(-Y[:, 0], kind="stable")
-        else:
-            rank = nondominated_rank(Y)
-            # within equal ranks, prefer points better on the (normalized)
-            # objective sum — a cheap crowding proxy that keeps the split
-            # deterministic
-            lo, hi = Y.min(axis=0), Y.max(axis=0)
-            span = np.where(hi > lo, hi - lo, 1.0)
-            crowd = ((Y - lo) / span).sum(axis=1)
-            order = np.lexsort((-crowd, rank))
-        good_idx = order[:n_good]
-        bad_idx = order[n_good:]
-        return X[good_idx], X[bad_idx]
+        return self._X[order[:n_good]], self._X[order[n_good:]]
 
     def _bandwidth(self, pts: np.ndarray) -> np.ndarray:
         """Per-dimension Parzen bandwidth: Scott's-rule spread of the set,

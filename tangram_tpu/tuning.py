@@ -505,14 +505,25 @@ def _run_halving(
     setup: _PopulationSetup,
     num_epochs: int,
     eta: int = 3,
+    population_batch_size: int = 4,
     verbose: bool = False,
 ):
     """Batched successive halving with epoch reallocation (the scheduler
     side of the reference's Ray stack — `tune.Tuner` + a pruning scheduler):
-    all trials train together as one vmapped program in rung-sized chunks
-    with carried Adam state; after each rung only the top 1/eta by the
-    selected metrics keep training. Multi-metric selection uses
-    nondomination rank + crowding (as the adaptive TPE split does).
+    trials train as vmapped programs in rung-sized epoch chunks; after each
+    rung only the top 1/eta by the selected metrics keep training.
+    Multi-metric selection uses nondomination rank + crowding (the same
+    ``pareto_order`` the adaptive TPE split uses, so diverged NaN trials
+    are eliminated first).
+
+    Memory policy: carrying Adam state across rungs requires the whole
+    alive population's (M, mu, nu) resident on device at once — feasible
+    only for modest populations. When that footprint exceeds the device
+    budget (``utils.device_memory_budget``), rungs instead retrain their
+    survivors from scratch in ``population_batch_size``-sized vmapped
+    chunks (classic SHA: bounded memory at ≤ eta/(eta−1)× extra compute);
+    both paths follow the same cosine-schedule trajectory because partial
+    training always spans absolute epochs [0, target).
 
     Returns a row per trial with the 5 metrics at its last rung plus a
     ``trained_epochs`` column.
@@ -572,10 +583,26 @@ def _run_halving(
 
     lam_mat = setup.lam_matrix(configs, range(n))
     lr_peaks, lr_ends = setup.lr_vectors(configs, range(n))
-    M = jnp.broadcast_to(M0s[None], (n,) + M0s.shape)
-    count = jnp.zeros((n, N_REPEATS), jnp.int32)
-    mu = jnp.zeros_like(M)
-    nu = jnp.zeros_like(M)
+
+    # Carried-state mode needs the whole population's (M, mu, nu) — plus
+    # the same again for the jitted call's outputs — live on device at
+    # once. Fall back to restart-based rungs when it doesn't fit.
+    from .utils import device_memory_budget
+
+    state_bytes = 2 * 3 * 4 * n * int(np.prod(M0s.shape))  # in+out × (M,mu,nu)
+    carry = state_bytes <= device_memory_budget()
+    chunk_size = max(1, int(population_batch_size))
+    if carry:
+        M = jnp.broadcast_to(M0s[None], (n,) + M0s.shape)
+        count = jnp.zeros((n, N_REPEATS), jnp.int32)
+        mu = jnp.zeros_like(M)
+        nu = jnp.zeros_like(M)
+    elif verbose:
+        logging.info(
+            "halving: carried state (%.1f GB) exceeds the device budget; "
+            "restart-based rungs in chunks of %d", state_bytes / 1e9,
+            chunk_size,
+        )
 
     # `alive` holds global trial indices in the same order as the batch
     # arrays' leading axis; eliminations gather the survivor rows in place
@@ -595,20 +622,40 @@ def _run_halving(
             lam_mat, lr_peaks, lr_ends = (
                 lam_mat[sel_dev], lr_peaks[sel_dev], lr_ends[sel_dev]
             )
-            M, count, mu, nu = (
-                M[sel_dev], count[sel_dev], mu[sel_dev], nu[sel_dev]
+            if carry:
+                M, count, mu, nu = (
+                    M[sel_dev], count[sel_dev], mu[sel_dev], nu[sel_dev]
+                )
+        if carry:
+            steps = target - done
+            M, count, mu, nu, Ps, val_scores = fit_batched(
+                lam_mat, lr_peaks, lr_ends, M, count, mu, nu,
+                jnp.float32(done), int(steps),
             )
-        steps = target - done
-        M, count, mu, nu, Ps, val_scores = fit_batched(
-            lam_mat, lr_peaks, lr_ends, M, count, mu, nu,
-            jnp.float32(done), int(steps),
-        )
-        Ps_h = np.asarray(Ps)
-        val_h = np.asarray(val_scores)
+            Ps_h = np.asarray(Ps)
+            val_h = np.asarray(val_scores)
+            for row, i in enumerate(alive):
+                rows[i] = setup.metrics_row(Ps_h[row], val_h[row])
+        else:
+            for start in range(0, len(alive), chunk_size):
+                stop = min(start + chunk_size, len(alive))
+                M_c = jnp.broadcast_to(
+                    M0s[None], (stop - start,) + M0s.shape
+                )
+                count_c = jnp.zeros((stop - start, N_REPEATS), jnp.int32)
+                zeros_c = jnp.zeros_like(M_c)
+                _, _, _, _, Ps, val_scores = fit_batched(
+                    lam_mat[start:stop], lr_peaks[start:stop],
+                    lr_ends[start:stop], M_c, count_c, zeros_c, zeros_c,
+                    jnp.float32(0), int(target),
+                )
+                Ps_h = np.asarray(Ps)
+                val_h = np.asarray(val_scores)
+                for row in range(stop - start):
+                    i = alive[start + row]
+                    rows[i] = setup.metrics_row(Ps_h[row], val_h[row])
         done = target
-        for row, i in enumerate(alive):
-            rows[i] = setup.metrics_row(Ps_h[row], val_h[row])
-            trained[i] = done
+        trained[alive] = done
         if verbose:
             logging.info(
                 "halving: %d configs at %d/%d epochs", len(alive), done,
@@ -621,18 +668,13 @@ def _run_halving(
 
 
 def _select_order(Y: np.ndarray) -> np.ndarray:
-    """Trial ordering, best first, by the selected (maximized) metrics:
-    plain sort for one metric; nondomination rank then normalized-sum
-    crowding for several (the same split rule the TPE sampler uses)."""
-    if Y.shape[1] == 1:
-        return np.argsort(-Y[:, 0], kind="stable")
-    from .search import nondominated_rank
+    """Trial ordering, best first, by the selected (maximized) metrics —
+    :func:`tangram_tpu.search.pareto_order` (the same rule the TPE
+    sampler's good/bad split uses; diverged trials with NaN metrics sort
+    last, so halving eliminates them first)."""
+    from .search import pareto_order
 
-    rank = nondominated_rank(Y)
-    lo, hi = Y.min(axis=0), Y.max(axis=0)
-    span = np.where(hi > lo, hi - lo, 1.0)
-    crowd = ((Y - lo) / span).sum(axis=1)
-    return np.lexsort((-crowd, rank))
+    return pareto_order(Y)
 
 
 # ---------------------------------------------------------------------------
@@ -698,16 +740,20 @@ def mapping_hyperparameter_tuning(
       (tests/test_adaptive_search.py pins ≤ 1/4 on a seeded objective);
       each round is still one vmapped on-device batch.
     * ``"halving"`` — batched successive halving (the scheduler/pruning
-      side of the Ray stack): every trial trains in the SAME vmapped
-      program, in rung-sized epoch chunks with carried Adam state; after
-      each rung only the top ``1/halving_eta`` by the selected metrics
-      keep training, so the full epoch budget concentrates on promising
-      configurations (total cost ≈ (1 + K/eta)·num_epochs instead of
-      n·num_epochs). Requires a fixed ``num_epochs`` in ``config``; the
-      result gains a ``trained_epochs`` column. ``mesh`` is ignored in this
-      mode (survivor elimination changes the trial-axis extent every rung,
-      which defeats static trial sharding — use ``"sobol"``/``"adaptive"``
-      for trial data parallelism).
+      side of the Ray stack): trials train as vmapped programs in
+      rung-sized epoch chunks; after each rung only the top
+      ``1/halving_eta`` by the selected metrics keep training, so the full
+      epoch budget concentrates on promising configurations (total cost
+      ≈ (1 + K/eta)·num_epochs instead of n·num_epochs). When the whole
+      population's Adam state fits the device budget, rungs continue from
+      carried state; otherwise rungs retrain their survivors from scratch
+      in ``population_batch_size``-sized chunks (classic SHA — bounded
+      memory, ≤ eta/(eta−1)× extra compute). Requires a fixed
+      ``num_epochs`` in ``config``; the result gains a ``trained_epochs``
+      column. ``mesh`` is ignored in this mode (survivor elimination
+      changes the trial-axis extent every rung, which defeats static trial
+      sharding — use ``"sobol"``/``"adaptive"`` for trial data
+      parallelism).
 
     Ray is not required for any mode.
     """
@@ -874,7 +920,9 @@ def mapping_hyperparameter_tuning(
         configs = from_unit_rows(sobol_unit_rows(tuner_num_samples))
         df = _run_halving(
             configs, list(metric), setup, int(num_epochs),
-            eta=int(halving_eta), verbose=verbose,
+            eta=int(halving_eta),
+            population_batch_size=population_batch_size,
+            verbose=verbose,
         )
     else:
         # scrambled Sobol over the search space, one population

@@ -34,6 +34,7 @@ from .evaluation import (  # noqa: F401
 )
 
 __all__ = [
+    "device_memory_budget",
     "read_pickle",
     "annotate_gene_sparsity",
     "get_matched_genes",

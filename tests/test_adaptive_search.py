@@ -240,6 +240,27 @@ def test_select_order_single_and_multi():
     assert order[0] == 1 and order[-1] == 0 or order[0] == 1
 
 
+def test_select_order_nan_trials_sort_last():
+    """A diverged trial (NaN metrics) must never outrank a finite one —
+    otherwise halving would carry it through every rung while eliminating
+    healthy configs (NaN rows are incomparable under nondomination, so a
+    naive rank puts them on the Pareto front)."""
+    from tangram_tpu.tuning import _select_order
+
+    Y = np.array([[0.9, 0.8], [np.nan, np.nan], [0.5, 0.4], [0.7, 0.9]])
+    order = _select_order(Y)
+    assert order[-1] == 1  # the NaN trial is eliminated first
+    assert set(order[:2]) == {0, 3}  # the nondominated finite rows lead
+
+    # single metric: same rule
+    order1 = _select_order(np.array([[0.2], [np.nan], [0.7]]))
+    np.testing.assert_array_equal(order1, [2, 0, 1])
+
+    # all-NaN input stays total (everything still ordered)
+    order_all = _select_order(np.full((3, 2), np.nan))
+    assert sorted(order_all) == [0, 1, 2]
+
+
 def test_tuner_halving_end_to_end(tuner_adatas):
     ad_sc, ad_sp = tuner_adatas
     config = {
@@ -300,6 +321,51 @@ def test_halving_winner_prefix_matches_full_training(tuner_adatas):
     assert win["gene_expr_correctness"] == pytest.approx(
         float(full["gene_expr_correctness"].iloc[0]), abs=2e-4
     )
+
+
+def test_halving_restart_mode_matches_carried(tuner_adatas, monkeypatch):
+    """When the population's Adam state exceeds the device budget, halving
+    falls back to restart-based rungs in population_batch_size chunks.
+    Restarting from scratch to each rung target replays the exact same
+    update sequence the carried state would continue, so eliminations and
+    the final dataframe must match the carried path."""
+    ad_sc, ad_sp = tuner_adatas
+    config = {
+        "learning_rate": tuning.loguniform(0.01, 0.5),
+        "lambda_g1": tuning.uniform(0.5, 1.0),
+        "num_epochs": 24,
+    }
+    kw = dict(
+        metric=["gene_expr_correctness"], config=config,
+        tuner_num_samples=8, cluster_label="subclass_label",
+        search="halving", halving_eta=2, random_state=3,
+        population_batch_size=3,  # deliberately not dividing the rung sizes
+    )
+    np.random.seed(7)
+    carried = tg.mapping_hyperparameter_tuning(
+        ad_sc, ad_sp, **kw
+    ).get_results().get_dataframe()
+
+    # force the restart fallback: report a budget no population fits
+    import tangram_tpu.utils as tpu_utils
+
+    monkeypatch.setattr(
+        tpu_utils, "device_memory_budget", lambda *a, **k: 1.0
+    )
+    np.random.seed(7)
+    restart = tg.mapping_hyperparameter_tuning(
+        ad_sc, ad_sp, **kw
+    ).get_results().get_dataframe()
+
+    np.testing.assert_array_equal(
+        carried["trained_epochs"].to_numpy(),
+        restart["trained_epochs"].to_numpy(),
+    )
+    for m in tuning.METRIC_KEYS:
+        np.testing.assert_allclose(
+            carried[m].to_numpy(), restart[m].to_numpy(),
+            rtol=1e-4, atol=1e-5,
+        )
 
 
 def test_halving_requires_fixed_num_epochs(tuner_adatas):

@@ -92,3 +92,44 @@ ENTRY %main (a: f32[8,4]) -> f32[8,4] {
     assert res["per_step"]["wire_bytes_per_chip"] == pytest.approx(192.0)
     # module total adds the group-2 all-gather: (1/2)*256 = 128
     assert res["module_total"]["wire_bytes_per_chip"] == pytest.approx(320.0)
+
+
+def test_hlo_analyzer_counts_async_collectives():
+    """Async pairs (all-reduce-start/-done): the start op carries a tuple
+    result type (operand alias + result) — bytes must come from the operand
+    shapes, counted once (the done op is skipped), and equal what the sync
+    form of the same op would report."""
+    import hlo_collective_bytes as hcb
+
+    async_hlo = """\
+HloModule test_async
+
+ENTRY %main (a: f32[8,4]) -> f32[8,4] {
+  %ars = (f32[8,4]{1,0}, f32[8,4]{1,0}) all-reduce-start(f32[8,4]{1,0} %a), replica_groups={{0,1,2,3}}, to_apply=%add.2
+  %ard = f32[8,4]{1,0} all-reduce-done((f32[8,4]{1,0}, f32[8,4]{1,0}) %ars)
+  %ags = (f32[8,4]{1,0}, f32[32,4]{1,0}) all-gather-start(f32[8,4]{1,0} %ard), replica_groups={{0,1,2,3}}, dimensions={0}
+  %agd = f32[32,4]{1,0} all-gather-done((f32[8,4]{1,0}, f32[32,4]{1,0}) %ags)
+  ROOT %r = f32[8,4] slice(%agd), slice={[0:8], [0:4]}
+}
+"""
+    res = hcb.analyze_hlo(async_hlo, n_devices=4)
+    # all-reduce over f32[8,4] (128 B), group 4: 2*(3/4)*128 = 192;
+    # all-gather result = 4 * 128 B operand = 512, wire (3/4)*512 = 384
+    assert res["module_total"]["wire_bytes_per_chip"] == pytest.approx(
+        192.0 + 384.0
+    )
+
+    sync_hlo = """\
+HloModule test_sync
+
+ENTRY %main (a: f32[8,4]) -> f32[8,4] {
+  %ar = f32[8,4]{1,0} all-reduce(f32[8,4]{1,0} %a), replica_groups={{0,1,2,3}}, to_apply=%add.2
+  %ag = f32[32,4]{1,0} all-gather(f32[8,4]{1,0} %ar), replica_groups={{0,1,2,3}}, dimensions={0}
+  ROOT %r = f32[8,4] slice(%ag), slice={[0:8], [0:4]}
+}
+"""
+    sync = hcb.analyze_hlo(sync_hlo, n_devices=4)
+    assert (
+        sync["module_total"]["wire_bytes_per_chip"]
+        == res["module_total"]["wire_bytes_per_chip"]
+    )
