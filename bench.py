@@ -125,6 +125,81 @@ def _spatial_reg_step_time(rng, kwargs, n_cells=26_000, n_spots=50_000):
     return ms
 
 
+def _tuner_throughput(rng, n_trials=32, num_epochs=1000):
+    """Measured on-device population-tuner throughput at the reference
+    tuner's own workload scale (cluster-aggregated S — the reference tuner
+    unconditionally requires ``cluster_label``,
+    ``mapping_parameter_tuning.py:251-252``): ``n_trials`` configs × 3
+    seeded repeats × ``num_epochs`` epochs on real KNN spot graphs, all
+    five stability metrics.
+
+    The one-time data setup (graph weights, device upload, population
+    compile) is excluded from both arms — it is shared by any search mode —
+    so the comparison is trials-in-flight vs one-trial-at-a-time on the
+    SAME device: the measured on-device analogue of Ray's
+    process-per-trial dispatch with zero scheduling overhead."""
+    import pandas as pd
+
+    from tangram_tpu import adlite
+    from tangram_tpu import spatial as tsp
+    from tangram_tpu.tuning import _PopulationSetup, _run_population
+
+    n_types, s, g = 30, 9_852, 249
+    S = (rng.gamma(2.0, 1.0, (n_types, g)) + 0.05).astype(np.float32)
+    G = (rng.gamma(3.0, 1.0, (s, g)) + 0.05).astype(np.float32)
+    d = G.sum(axis=1) / G.sum()
+
+    ad_sp = adlite.AnnData(
+        X=np.ones((s, 1), np.float32),
+        obs=pd.DataFrame(index=np.arange(s).astype(str)),
+    )
+    ad_sp.obsm["spatial"] = rng.random((s, 2)) * 1000
+    tsp.spatial_neighbors(ad_sp, n_neighs=6)
+    voxel_w = tsp.spatial_weights(ad_sp, standardized=True, self_inclusion=True)
+    nb_filter = tsp.spatial_weights(ad_sp, standardized=False, self_inclusion=False)
+    spatial_w = tsp.spatial_weights(ad_sp, standardized=True, self_inclusion=False)
+    ct_encode = np.eye(n_types, dtype=np.float32)  # one type per cluster row
+
+    gene_idx = list(range(g))
+    setup = _PopulationSetup(
+        S, G, d, voxel_w, nb_filter, ct_encode, spatial_w,
+        train_genes_idx=gene_idx, val_genes_idx=gene_idx,
+    )
+    data_kw = dict(
+        S=S, G=G, d=d, voxel_weights=voxel_w, neighborhood_filter=nb_filter,
+        ct_encode=ct_encode, spatial_weights=spatial_w,
+        train_genes_idx=gene_idx, val_genes_idx=gene_idx, setup=setup,
+    )
+    configs = [
+        {
+            "learning_rate": float(10 ** rng.uniform(-1.7, -0.3)),
+            "lambda_d": float(rng.uniform(0.0, 1.0)),
+            "num_epochs": num_epochs,
+        }
+        for _ in range(n_trials)
+    ]
+
+    def run(cfgs, batch):
+        t0 = time.perf_counter()
+        _run_population(configs=cfgs, population_batch_size=batch, **data_kw)
+        return time.perf_counter() - t0
+
+    run(configs, n_trials)  # compile + upload (persistent-cached)
+    batched_s = run(configs, n_trials)
+    run(configs[:1], 1)  # compile the single-trial program
+    sequential_s = run(configs[:1], 1)
+    return {
+        "workload": f"{n_trials} configs x 3 repeats x {num_epochs} epochs, "
+                    f"clusters {n_types}x{s} (reference tuner scale)",
+        "batched_seconds": round(batched_s, 2),
+        "trials_per_second": round(n_trials / batched_s, 2),
+        "sequential_seconds_per_trial": round(sequential_s, 2),
+        "speedup_vs_sequential_trials": round(
+            sequential_s * n_trials / batched_s, 1
+        ),
+    }
+
+
 def _validate_comm_model_against_hlo(model_wire_bytes):
     """Cross-check the hand psum model against the collectives XLA actually
     emits: lower ONE fused sharded step at the north-star spot/gene shape on
@@ -380,6 +455,8 @@ def main():
             result["spatial_reg_knn_50k_spots_ms_per_step"] = round(
                 _spatial_reg_step_time(rng, kwargs), 1
             )
+            # --- tuner population throughput (vs Ray's process-per-trial)
+            result["tuner_throughput"] = _tuner_throughput(rng)
         except Exception as err:  # secondary metrics are best-effort
             result["atlas_50k_cells_x_25k_spots_ms_per_step"] = (
                 f"failed: {type(err).__name__}: {err}"

@@ -152,7 +152,9 @@ def spatial_weights(adata_sp, standardized: bool, self_inclusion: bool) -> np.nd
     """
     W = sparse_weights(adata_sp, standardized).toarray()
     if self_inclusion:
-        W = W + np.eye(W.shape[0])
+        # in-place diagonal add — np.eye would materialize a second dense
+        # (spots × spots) f64 array just to add 1s
+        W[np.diag_indices_from(W)] += 1.0
     return W
 
 

@@ -177,8 +177,9 @@ def consensus_entropy(pred_probs_cube):
 # ---------------------------------------------------------------------------
 
 
-def _tuner_loss(M, lam, data_arrays):
-    """All tunable terms computed unconditionally with traced weights.
+def _tuner_loss(M, lam, data_arrays, active=None):
+    """The tunable terms with traced weights, one compiled program per
+    population.
 
     Mathematically identical to :func:`tangram_tpu.ops.losses.compute_loss`
     restricted to the tuner's whitelist (the tuner always builds every weight
@@ -186,6 +187,13 @@ def _tuner_loss(M, lam, data_arrays):
     unconditionally: the population is batched with ``jax.vmap``, where the
     Pallas path is untested and unnecessary (per-trial problems small enough
     to batch are small enough for XLA).
+
+    ``active`` (a set of λ keys, or None for "all") statically skips terms
+    whose weight is zero across the WHOLE population: with traced λs every
+    trial would otherwise pay the dense (spots × spots) W-products —
+    ~50 GFLOP/step at real Visium spot counts — even when no spatial λ is
+    in the search space. A zero λ makes the skipped term's value and
+    gradient exactly zero, so the result is bit-comparable.
     """
     import jax.numpy as jnp
 
@@ -209,33 +217,49 @@ def _tuner_loss(M, lam, data_arrays):
             return jnp.mean(v)
         return jnp.sum(v * mask) / jnp.sum(mask)
 
+    def on(key):
+        return active is None or key in active
+
     gv_sim = mmean(cosine_similarity(G_pred, G, axis=0))
     vg_sim = jnp.mean(cosine_similarity(G_pred, G, axis=1))
-    density = kl_div_sum(jnp.log(q), d)
-    entropy = -jnp.sum(h)
-    l1 = jnp.sum(jnp.abs(M))
-    l2 = jnp.sum(M * M)
-    nb_sim = mmean(
-        cosine_similarity(graph_matmul(voxel_w, G_pred), graph_matmul(voxel_w, G), axis=0)
-    )
-    nb_ct = graph_matmul(nb_filter, ct_map)
-    ct_penalty = jnp.mean(jnp.maximum(ct_map - nb_ct, 0.0))
-    getis_pred = graph_matmul(spatial_w, G_pred) / jnp.maximum(
-        jnp.sum(G_pred, axis=0), 1e-30
-    )
-    getis_sim = mmean(cosine_similarity(getis_ref, getis_pred, axis=0))
-
-    total = (
-        -(lam["lambda_g1"] * gv_sim + lam["lambda_g2"] * vg_sim)
-        + lam["lambda_d"] * density
-        + lam["lambda_r"] * entropy
-        + lam["lambda_l1"] * l1
-        + lam["lambda_l2"] * l2
-        + lam["lambda_ct_islands"] * ct_penalty
-        - lam["lambda_neighborhood_g1"] * nb_sim
-        - lam["lambda_getis_ord"] * getis_sim
-    )
+    total = -(lam["lambda_g1"] * gv_sim + lam["lambda_g2"] * vg_sim)
+    if on("lambda_d"):
+        total = total + lam["lambda_d"] * kl_div_sum(jnp.log(q), d)
+    if on("lambda_r"):
+        total = total + lam["lambda_r"] * -jnp.sum(h)
+    if on("lambda_l1"):
+        total = total + lam["lambda_l1"] * jnp.sum(jnp.abs(M))
+    if on("lambda_l2"):
+        total = total + lam["lambda_l2"] * jnp.sum(M * M)
+    if on("lambda_ct_islands"):
+        nb_ct = graph_matmul(nb_filter, ct_map)
+        ct_penalty = jnp.mean(jnp.maximum(ct_map - nb_ct, 0.0))
+        total = total + lam["lambda_ct_islands"] * ct_penalty
+    if on("lambda_neighborhood_g1"):
+        nb_sim = mmean(
+            cosine_similarity(
+                graph_matmul(voxel_w, G_pred), graph_matmul(voxel_w, G),
+                axis=0,
+            )
+        )
+        total = total - lam["lambda_neighborhood_g1"] * nb_sim
+    if on("lambda_getis_ord"):
+        getis_pred = graph_matmul(spatial_w, G_pred) / jnp.maximum(
+            jnp.sum(G_pred, axis=0), 1e-30
+        )
+        getis_sim = mmean(cosine_similarity(getis_ref, getis_pred, axis=0))
+        total = total - lam["lambda_getis_ord"] * getis_sim
     return total, gv_sim
+
+
+def _active_lambdas(configs, lam_keys) -> frozenset:
+    """λ keys with a nonzero value in ANY of the population's configs —
+    everything else is statically zero and its term can be skipped
+    (value and gradient exactly zero either way)."""
+    return frozenset(
+        k for k in lam_keys
+        if any(float(cfg.get(k, 0.0)) != 0.0 for cfg in configs)
+    )
 
 
 def train_multiple_Mapper(config, data):
@@ -289,12 +313,17 @@ class _PopulationSetup:
             jnp.asarray(np.asarray(spatial_weights), dtype=jnp.float32),
         )
 
-        # Getis-Ord reference on the (masked) training genes
-        Gm = np.asarray(G) * train_mask[None, :]
-        getis_ref = (np.asarray(spatial_weights) @ Gm) / np.maximum(
-            Gm.sum(axis=0), 1e-30
-        )
-        self.arrays = arrays + (jnp.asarray(getis_ref, dtype=jnp.float32),)
+        # Getis-Ord reference on the (masked) training genes — computed on
+        # device: the (spots × spots) @ (spots × genes) product is ~50
+        # GFLOP at real Visium spot counts, a minute of single-core numpy
+        # but sub-millisecond on the chip (the weights are uploaded anyway)
+        import jax
+
+        Gm = self.G_dev * arrays[3][None, :]
+        getis_ref = jax.jit(
+            lambda W, X: (W @ X) / jnp.maximum(X.sum(axis=0), 1e-30)
+        )(arrays[7], Gm)
+        self.arrays = arrays + (getis_ref,)
 
         # Repeat-run inits reproduce the reference stream exactly: run r
         # passes random_state=r to the Mapper
@@ -313,14 +342,16 @@ class _PopulationSetup:
         ]
         self._fit_cache = {}
 
-    def fit_batched(self, num_epochs: int):
+    def fit_batched(self, num_epochs: int, active: Optional[frozenset] = None):
         """The jitted (configs × repeats) population trainer for a scan
-        length, cached per num_epochs — the adaptive search calls this every
-        ask/tell round and must reuse one compiled program instead of
-        re-tracing an identical one per round."""
+        length and active-λ set, cached per (num_epochs, active) — the
+        adaptive search calls this every ask/tell round and must reuse one
+        compiled program instead of re-tracing an identical one per
+        round."""
         num_epochs = int(num_epochs)
-        if num_epochs in self._fit_cache:
-            return self._fit_cache[num_epochs]
+        cache_key = (num_epochs, active)
+        if cache_key in self._fit_cache:
+            return self._fit_cache[cache_key]
 
         import jax
         import jax.numpy as jnp
@@ -330,11 +361,16 @@ class _PopulationSetup:
         from .ops.losses import val_metrics
         from .ops.schedules import cosine_value
 
-        arrays, lam_keys = self.arrays, self.lam_keys
-        S_dev, G_dev = self.S_dev, self.G_dev
-        mask_dev = jnp.asarray(self.train_mask)
+        lam_keys = self.lam_keys
 
-        def fit_one(lam_vec, lr_peak, lr_end, M0):
+        # The data (loss arrays, S/G, gene mask) is threaded as jit
+        # ARGUMENTS, not closure captures: a closed-over concrete array is
+        # baked into the compiled program as a constant — at real spot
+        # counts the three dense (spots × spots) weight matrices alone are
+        # ~1 GB of program text (duplicated in HBM next to the live copies,
+        # and oversized for remote-compile transports).
+        def fit_one(lam_vec, lr_peak, lr_end, M0, arrays, S_dev, G_dev,
+                    mask_dev):
             lam = {k: lam_vec[i] for i, k in enumerate(lam_keys)}
 
             # adam(1.0) scaled by the per-epoch cosine lr is bit-identical
@@ -347,7 +383,7 @@ class _PopulationSetup:
                 M, opt_state = carry
                 lr_t = cosine_value(t, lr_peak, lr_end, num_epochs, xp=jnp)
                 grads = jax.grad(
-                    lambda m: _tuner_loss(m, lam, arrays)[0]
+                    lambda m: _tuner_loss(m, lam, arrays, active)[0]
                 )(M)
                 updates, opt_state = optimizer.update(grads, opt_state, M)
                 updates = jax.tree.map(lambda u: u * lr_t, updates)
@@ -362,13 +398,20 @@ class _PopulationSetup:
             vm = val_metrics(M, S_dev, G_dev, gene_mask=mask_dev, impl="xla")
             return P, vm["val_gene_sim"]
 
-        fn = jax.jit(
+        data_axes = (None, None, None, None)
+        raw = jax.jit(
             jax.vmap(  # over configs
-                jax.vmap(fit_one, in_axes=(None, None, None, 0)),  # repeats
-                in_axes=(0, 0, 0, None),
+                jax.vmap(fit_one, in_axes=(None, None, None, 0) + data_axes),
+                in_axes=(0, 0, 0, None) + data_axes,
             )
         )
-        self._fit_cache[num_epochs] = fn
+        mask_dev = jnp.asarray(self.train_mask)
+
+        def fn(lam_mat, lr_peaks, lr_ends, M0s):
+            return raw(lam_mat, lr_peaks, lr_ends, M0s, self.arrays,
+                       self.S_dev, self.G_dev, mask_dev)
+
+        self._fit_cache[cache_key] = fn
         return fn
 
     def lam_matrix(self, configs, idxs):
@@ -440,8 +483,12 @@ def _run_population(
     for idx, cfg in enumerate(configs):
         by_epochs.setdefault(int(cfg.get("num_epochs", 1000)), []).append(idx)
 
+    # λ keys that are zero across the whole population: their terms are
+    # statically skipped (notably the dense W-product spatial terms)
+    active = _active_lambdas(configs, setup.lam_keys)
+
     for num_epochs, idxs in by_epochs.items():
-        fit_batched = setup.fit_batched(num_epochs)
+        fit_batched = setup.fit_batched(num_epochs, active)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
@@ -539,11 +586,15 @@ def _run_halving(
     S_dev, G_dev, train_mask = setup.S_dev, setup.G_dev, setup.train_mask
     mask_dev = jnp.asarray(train_mask)
     n = len(configs)
+    active = _active_lambdas(configs, lam_keys)
 
-    def fit_chunk(lam_vec, lr_peak, lr_end, M, count, mu, nu, start, steps):
+    def fit_chunk(lam_vec, lr_peak, lr_end, M, count, mu, nu, start, steps,
+                  arrays, S_dev, G_dev, mask_dev):
         """Continue one run for `steps` epochs from absolute epoch `start`
         (the cosine schedule spans the FULL num_epochs budget, so partial
-        training follows the same trajectory a full run would)."""
+        training follows the same trajectory a full run would). The data
+        rides as jit arguments, not closure constants (see
+        ``_PopulationSetup.fit_batched``)."""
         lam = {k: lam_vec[i] for i, k in enumerate(lam_keys)}
         optimizer = make_adam(1.0)
         template = optimizer.init(M)
@@ -556,7 +607,9 @@ def _run_halving(
             from .ops.schedules import cosine_value
 
             lr_t = cosine_value(t, lr_peak, lr_end, num_epochs, xp=jnp)
-            grads = jax.grad(lambda m: _tuner_loss(m, lam, arrays)[0])(M)
+            grads = jax.grad(
+                lambda m: _tuner_loss(m, lam, arrays, active)[0]
+            )(M)
             updates, opt_state = optimizer.update(grads, opt_state, M)
             updates = jax.tree.map(lambda u: u * lr_t, updates)
             return (optax.apply_updates(M, updates), opt_state), None
@@ -570,16 +623,23 @@ def _run_halving(
         vm = val_metrics(M, S_dev, G_dev, gene_mask=mask_dev, impl="xla")
         return M, adam.count, adam.mu, adam.nu, P, vm["val_gene_sim"]
 
-    fit_batched = jax.jit(
+    data_axes = (None, None, None, None)
+    fit_raw = jax.jit(
         jax.vmap(  # configs
             jax.vmap(  # repeats
                 fit_chunk,
-                in_axes=(None, None, None, 0, 0, 0, 0, None, None),
+                in_axes=(None, None, None, 0, 0, 0, 0, None, None)
+                + data_axes,
             ),
-            in_axes=(0, 0, 0, 0, 0, 0, 0, None, None),
+            in_axes=(0, 0, 0, 0, 0, 0, 0, None, None) + data_axes,
         ),
         static_argnums=(8,),
     )
+
+    def fit_batched(lam_mat_, lr_peaks_, lr_ends_, M_, count_, mu_, nu_,
+                    start_, steps_):
+        return fit_raw(lam_mat_, lr_peaks_, lr_ends_, M_, count_, mu_, nu_,
+                       start_, steps_, arrays, S_dev, G_dev, mask_dev)
 
     lam_mat = setup.lam_matrix(configs, range(n))
     lr_peaks, lr_ends = setup.lr_vectors(configs, range(n))

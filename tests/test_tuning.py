@@ -141,6 +141,49 @@ def test_tuner_loss_matches_reference_terms(rng):
     assert float(total) == pytest.approx(ref_total, rel=3e-4)
 
 
+def test_tuner_loss_active_skip_is_exact():
+    """Statically skipping terms whose λ is zero across the population must
+    be bit-identical to computing them with λ = 0 — value AND gradient
+    (the skip is what keeps non-spatial populations off the dense
+    (spots × spots) W-products)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    c, s, g = 12, 9, 7
+    S = rng.random((c, g)).astype(np.float32)
+    G = rng.random((s, g)).astype(np.float32)
+    d = rng.random(s).astype(np.float32)
+    d /= d.sum()
+    W = (rng.random((s, s)) * (rng.random((s, s)) < 0.5)).astype(np.float32)
+    ct = np.zeros((c, 3), np.float32)
+    ct[np.arange(c), rng.integers(0, 3, c)] = 1
+    M = rng.normal(size=(c, s)).astype(np.float32)
+    getis_ref = (W @ G) / G.sum(axis=0)
+    arrays = tuple(
+        jnp.asarray(x)
+        for x in (S, G, d, np.ones(g, np.float32), W, W, ct, W, getis_ref)
+    )
+    # spatial λs zero; only g1/d/r carry weight
+    lam = {k: jnp.float32(0.0) for k in tuning.TUNABLE_KEYS
+           if k.startswith("lambda")}
+    lam.update(lambda_g1=jnp.float32(1.0), lambda_d=jnp.float32(0.7),
+               lambda_r=jnp.float32(0.01))
+    active = tuning._active_lambdas(
+        [{"lambda_g1": 1.0, "lambda_d": 0.7, "lambda_r": 0.01}],
+        [k for k in lam],
+    )
+    assert "lambda_getis_ord" not in active
+
+    def loss(m, act):
+        return tuning._tuner_loss(m, lam, arrays, act)[0]
+
+    full_v, full_g = jax.value_and_grad(loss)(jnp.asarray(M), None)
+    skip_v, skip_g = jax.value_and_grad(loss)(jnp.asarray(M), active)
+    assert float(full_v) == float(skip_v)
+    np.testing.assert_array_equal(np.asarray(full_g), np.asarray(skip_g))
+
+
 def test_repeat_run_inits_match_reference_stream():
     """The tuner's 3 repeat inits must be the exact N(0,1) matrices the
     reference tuner's Mappers draw (random_state=run for run in 0,1,2, with
