@@ -134,10 +134,14 @@ def _tuner_throughput(rng, n_trials=32, num_epochs=1000):
     five stability metrics.
 
     The one-time data setup (graph weights, device upload, population
-    compile) is excluded from both arms — it is shared by any search mode —
-    so the comparison is trials-in-flight vs one-trial-at-a-time on the
-    SAME device: the measured on-device analogue of Ray's
-    process-per-trial dispatch with zero scheduling overhead."""
+    compile) is excluded — it is shared by any search mode. Reported:
+    batched population throughput, the one-trial-at-a-time time on the same
+    chip (at this shape the chip saturates around one trial's batch, so
+    vmapping mainly removes per-trial dispatch; at smaller per-trial shapes
+    it multiplies throughput), and a measured reference-tuner trial
+    (3 seeded torch Mappers, ``val_each=1``,
+    ``mapping_parameter_tuning.py:109-131``) on this host's CPU — labeled
+    as such; the reference's own published hardware was a GPU."""
     import pandas as pd
 
     from tangram_tpu import adlite
@@ -188,16 +192,39 @@ def _tuner_throughput(rng, n_trials=32, num_epochs=1000):
     batched_s = run(configs, n_trials)
     run(configs[:1], 1)  # compile the single-trial program
     sequential_s = run(configs[:1], 1)
-    return {
+    out = {
         "workload": f"{n_trials} configs x 3 repeats x {num_epochs} epochs, "
                     f"clusters {n_types}x{s} (reference tuner scale)",
         "batched_seconds": round(batched_s, 2),
         "trials_per_second": round(n_trials / batched_s, 2),
-        "sequential_seconds_per_trial": round(sequential_s, 2),
-        "speedup_vs_sequential_trials": round(
-            sequential_s * n_trials / batched_s, 1
-        ),
+        "seconds_per_trial_unbatched": round(sequential_s, 3),
     }
+    try:  # measured reference arm (torch CPU — the only torch device here)
+        import sys as _sys
+
+        _sys.path.insert(0, "/root/repo/tests")
+        from _reference import load_reference_optimizer
+
+        REF = load_reference_optimizer()
+        ref_epochs = 100  # extrapolated ×(num_epochs/100); linear in epochs
+        t0 = time.perf_counter()
+        for rep in range(3):
+            m = REF.Mapper(
+                S=S, G=G, d=d, device="cpu", random_state=rep,
+                train_genes_idx=gene_idx, val_genes_idx=gene_idx,
+            )
+            m.train(num_epochs=ref_epochs, learning_rate=0.1,
+                    print_each=None, val_each=1)
+        ref_trial_s = (time.perf_counter() - t0) * (num_epochs / ref_epochs)
+        out["reference_seconds_per_trial_torch_cpu"] = round(ref_trial_s, 1)
+        out["speedup_vs_reference_trial_this_host"] = round(
+            ref_trial_s / (batched_s / n_trials), 0
+        )
+    except Exception as err:
+        out["reference_seconds_per_trial_torch_cpu"] = (
+            f"unavailable: {type(err).__name__}"
+        )
+    return out
 
 
 def _validate_comm_model_against_hlo(model_wire_bytes):

@@ -142,17 +142,24 @@ def pearson_corr(cube):
     strict lower triangle of the run×run correlation matrix, pairs in
     row-major order: (1,0), (2,0), (2,1), ...).
 
-    Computed directly as dot products of the centered, unit-norm flattened
-    runs — one (runs × N) normalization plus a tiny (runs × runs) gram
-    matrix, no full correlation-matrix helper."""
-    flat = cube.reshape(cube.shape[0], -1).astype(np.float64)
-    centered = flat - flat.mean(axis=1, keepdims=True)
-    norms = np.linalg.norm(centered, axis=1, keepdims=True)
-    unit = np.divide(
-        centered, norms, out=np.zeros_like(centered), where=norms > 0
-    )
-    i, j = np.tril_indices(cube.shape[0], -1)
-    return np.einsum("pn,pn->p", unit[i], unit[j])
+    Computed from the (runs × runs) gram matrix:
+    cov = X·Xᵀ − (Σx)(Σx)ᵀ/N, corr = cov/√(var·varᵀ). Every O(runs · N)
+    operation is a BLAS matmul — generic numpy elementwise passes over the
+    N-sized axis are orders of magnitude slower than BLAS on weak/throttled
+    host cores, and the tuner calls this twice per trial. Cancellation in
+    the uncentered form is benign at f64 (relative error ~1e-16 of the
+    magnitudes involved); a zero-variance run reports 0 correlation."""
+    p = cube.shape[0]
+    flat = cube.reshape(p, -1).astype(np.float64)
+    n = flat.shape[1]
+    sums = flat @ np.ones(n, dtype=np.float64)
+    gram = flat @ flat.T
+    cov = gram - np.outer(sums, sums) / n
+    var = np.maximum(np.diag(cov), 0.0)
+    denom = np.sqrt(np.outer(var, var))
+    i, j = np.tril_indices(p, -1)
+    num, den = cov[i, j], denom[i, j]
+    return np.divide(num, den, out=np.zeros_like(num), where=den > 0)
 
 
 def vote_entropy(pred_probs_cube):
@@ -170,6 +177,63 @@ def consensus_entropy(pred_probs_cube):
     """Peakedness of the run-averaged (consensus) mapping per cell,
     normalized by log(n_spots) (reference ``:71-82``)."""
     return _normalized_entropy(pred_probs_cube.mean(axis=0))
+
+
+def _device_metrics(Ps, val_sims, S_val):
+    """The 5 reported metrics of one config's repeat cube, on device
+    (f32 analogues of :func:`pearson_corr`, :func:`vote_entropy`,
+    :func:`consensus_entropy` + the masked-gene val score — the host
+    functions remain the reference implementations, parity-pinned by
+    tests/test_tuning.py).
+
+    Keeping the (runs × cells × spots) cube on device means only these 5
+    scalars ever cross the host boundary per trial, instead of the full
+    cube (at the tutorial's cluster scale that is ~3.5 MB per trial of
+    transfer plus host-side metric math per trial — the actual wall-clock
+    bottleneck of a batched population sweep).
+
+    ``Ps``: (runs, cells, spots) softmaxed maps. ``val_sims``: (runs,).
+    ``S_val``: (cells, n_val_genes).
+    """
+    import jax.numpy as jnp
+
+    p = Ps.shape[0]
+    n_spots = Ps.shape[2]
+    tri_i, tri_j = np.tril_indices(p, -1)
+
+    def pearson_mean(flat):
+        centered = flat - flat.mean(axis=1, keepdims=True)
+        gram = centered @ centered.T
+        var = jnp.maximum(jnp.diagonal(gram), 0.0)
+        denom = jnp.sqrt(jnp.outer(var, var))
+        num, den = gram[tri_i, tri_j], denom[tri_i, tri_j]
+        return jnp.where(den > 0, num / den, 0.0).mean()
+
+    def norm_entropy_mean(probs):  # rows renormalized, 0·log0 := 0
+        rs = probs.sum(axis=-1, keepdims=True)
+        pr = jnp.where(rs > 0, probs / jnp.where(rs > 0, rs, 1.0), 0.0)
+        plogp = jnp.where(
+            pr > 0, pr * jnp.log(jnp.where(pr > 0, pr, 1.0)), 0.0
+        )
+        return (-plogp.sum(axis=-1) / jnp.log(n_spots)).mean()
+
+    # vote entropy: Σ over vote groups of −(m/p)·log(m/p) equals a sum over
+    # MEMBERS of −(1/p)·log(cnt/p), where cnt is each member's group size —
+    # computable from pairwise vote equality without a (cells × spots)
+    # scatter
+    votes = jnp.argmax(Ps, axis=2)  # (p, cells)
+    eq = votes[:, None, :] == votes[None, :, :]  # (p, p, cells)
+    cnt = eq.sum(axis=1).astype(jnp.float32)  # (p, cells)
+    vote_H = (-(1.0 / p) * jnp.log(cnt / p)).sum(axis=0) / jnp.log(n_spots)
+
+    gene_cube = jnp.einsum("rcs,cg->rgs", Ps, S_val)
+    return {
+        "cell_map_consistency": pearson_mean(Ps.reshape(p, -1)),
+        "cell_map_agreement": 1.0 - vote_H.mean(),
+        "cell_map_certainty": 1.0 - norm_entropy_mean(Ps.mean(axis=0)),
+        "gene_expr_consistency": pearson_mean(gene_cube.reshape(p, -1)),
+        "gene_expr_correctness": val_sims.mean(),
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -299,6 +363,11 @@ class _PopulationSetup:
         self.train_mask = train_mask
         self.val_genes_idx = val_genes_idx
         self.S = S
+        # raw (unmasked) S restricted to the val genes — the gene-space
+        # stability metrics project each run's map through it on device
+        self.S_val_dev = jnp.asarray(
+            np.asarray(S)[:, np.asarray(val_genes_idx)]
+        )
 
         self.S_dev = jnp.asarray(S)
         self.G_dev = jnp.asarray(G)
@@ -399,17 +468,24 @@ class _PopulationSetup:
             return P, vm["val_gene_sim"]
 
         data_axes = (None, None, None, None)
+
+        def fit_config(lam_vec, lr_peak, lr_end, M0s, arrays, S_dev, G_dev,
+                       mask_dev, S_val):
+            Ps, val_sims = jax.vmap(  # repeats
+                fit_one, in_axes=(None, None, None, 0) + data_axes,
+            )(lam_vec, lr_peak, lr_end, M0s, arrays, S_dev, G_dev, mask_dev)
+            return _device_metrics(Ps, val_sims, S_val)
+
         raw = jax.jit(
             jax.vmap(  # over configs
-                jax.vmap(fit_one, in_axes=(None, None, None, 0) + data_axes),
-                in_axes=(0, 0, 0, None) + data_axes,
+                fit_config, in_axes=(0, 0, 0, None) + data_axes + (None,),
             )
         )
         mask_dev = jnp.asarray(self.train_mask)
 
         def fn(lam_mat, lr_peaks, lr_ends, M0s):
             return raw(lam_mat, lr_peaks, lr_ends, M0s, self.arrays,
-                       self.S_dev, self.G_dev, mask_dev)
+                       self.S_dev, self.G_dev, mask_dev, self.S_val_dev)
 
         self._fit_cache[cache_key] = fn
         return fn
@@ -438,7 +514,11 @@ class _PopulationSetup:
 
     def metrics_row(self, cube, val_scores_row):
         """The reference tuner's 5 reported metrics for one trial
-        (mapping_parameter_tuning.py:135-139) from its repeat-run cube."""
+        (mapping_parameter_tuning.py:135-139) from its repeat-run cube.
+
+        Host (numpy, f64) reference implementation; the population paths
+        compute the same metrics on device (:func:`_device_metrics` —
+        equivalence pinned by tests) so the cube never leaves the chip."""
         gene_cube = np.array(
             [self.S[:, np.asarray(self.val_genes_idx)].T @ cube[r]
              for r in range(N_REPEATS)]
@@ -506,13 +586,12 @@ def _run_population(
                 lam_mat = jax.device_put(lam_mat, config_sharding)
                 lr_peaks = jax.device_put(lr_peaks, config_sharding)
                 lr_ends = jax.device_put(lr_ends, config_sharding)
-            Ps, val_scores = fit_batched(lam_mat, lr_peaks, lr_ends, M0s)
-            Ps = np.asarray(Ps)  # (chunk, repeats, c, s)
-            val_scores = np.asarray(val_scores)
+            mets = fit_batched(lam_mat, lr_peaks, lr_ends, M0s)
+            mets = {k: np.asarray(v) for k, v in mets.items()}  # (chunk,) each
 
             for row, i in enumerate(chunk):
                 results.append(
-                    {"_index": i, **setup.metrics_row(Ps[row], val_scores[row])}
+                    {"_index": i, **{k: float(v[row]) for k, v in mets.items()}}
                 )
             if verbose:
                 logging.info("tuner: %d/%d trials done", len(results), len(configs))
@@ -624,14 +703,20 @@ def _run_halving(
         return M, adam.count, adam.mu, adam.nu, P, vm["val_gene_sim"]
 
     data_axes = (None, None, None, None)
+
+    def chunk_config(lam_vec, lr_peak, lr_end, M, count, mu, nu, start,
+                     steps, arrays_, S_dev_, G_dev_, mask_dev_, S_val):
+        M, count, mu, nu, Ps, val_sims = jax.vmap(  # repeats
+            fit_chunk,
+            in_axes=(None, None, None, 0, 0, 0, 0, None, None) + data_axes,
+        )(lam_vec, lr_peak, lr_end, M, count, mu, nu, start, steps,
+          arrays_, S_dev_, G_dev_, mask_dev_)
+        return M, count, mu, nu, _device_metrics(Ps, val_sims, S_val)
+
     fit_raw = jax.jit(
         jax.vmap(  # configs
-            jax.vmap(  # repeats
-                fit_chunk,
-                in_axes=(None, None, None, 0, 0, 0, 0, None, None)
-                + data_axes,
-            ),
-            in_axes=(0, 0, 0, 0, 0, 0, 0, None, None) + data_axes,
+            chunk_config,
+            in_axes=(0, 0, 0, 0, 0, 0, 0, None, None) + data_axes + (None,),
         ),
         static_argnums=(8,),
     )
@@ -639,7 +724,8 @@ def _run_halving(
     def fit_batched(lam_mat_, lr_peaks_, lr_ends_, M_, count_, mu_, nu_,
                     start_, steps_):
         return fit_raw(lam_mat_, lr_peaks_, lr_ends_, M_, count_, mu_, nu_,
-                       start_, steps_, arrays, S_dev, G_dev, mask_dev)
+                       start_, steps_, arrays, S_dev, G_dev, mask_dev,
+                       setup.S_val_dev)
 
     lam_mat = setup.lam_matrix(configs, range(n))
     lr_peaks, lr_ends = setup.lr_vectors(configs, range(n))
@@ -688,14 +774,13 @@ def _run_halving(
                 )
         if carry:
             steps = target - done
-            M, count, mu, nu, Ps, val_scores = fit_batched(
+            M, count, mu, nu, mets = fit_batched(
                 lam_mat, lr_peaks, lr_ends, M, count, mu, nu,
                 jnp.float32(done), int(steps),
             )
-            Ps_h = np.asarray(Ps)
-            val_h = np.asarray(val_scores)
+            mets = {k: np.asarray(v) for k, v in mets.items()}
             for row, i in enumerate(alive):
-                rows[i] = setup.metrics_row(Ps_h[row], val_h[row])
+                rows[i] = {k: float(v[row]) for k, v in mets.items()}
         else:
             for start in range(0, len(alive), chunk_size):
                 stop = min(start + chunk_size, len(alive))
@@ -704,16 +789,15 @@ def _run_halving(
                 )
                 count_c = jnp.zeros((stop - start, N_REPEATS), jnp.int32)
                 zeros_c = jnp.zeros_like(M_c)
-                _, _, _, _, Ps, val_scores = fit_batched(
+                _, _, _, _, mets = fit_batched(
                     lam_mat[start:stop], lr_peaks[start:stop],
                     lr_ends[start:stop], M_c, count_c, zeros_c, zeros_c,
                     jnp.float32(0), int(target),
                 )
-                Ps_h = np.asarray(Ps)
-                val_h = np.asarray(val_scores)
+                mets = {k: np.asarray(v) for k, v in mets.items()}
                 for row in range(stop - start):
                     i = alive[start + row]
-                    rows[i] = setup.metrics_row(Ps_h[row], val_h[row])
+                    rows[i] = {k: float(v[row]) for k, v in mets.items()}
         done = target
         trained[alive] = done
         if verbose:

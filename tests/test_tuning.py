@@ -184,6 +184,42 @@ def test_tuner_loss_active_skip_is_exact():
     np.testing.assert_array_equal(np.asarray(full_g), np.asarray(skip_g))
 
 
+def test_device_metrics_match_host_reference(rng):
+    """The on-device metric implementations (_device_metrics — what the
+    population paths report) must agree with the host numpy reference
+    implementations (pearson_corr / vote_entropy / consensus_entropy /
+    metrics_row) to f32 precision."""
+    import jax.numpy as jnp
+
+    p, c, s, gv = 3, 14, 11, 6
+    logits = rng.normal(size=(p, c, s)).astype(np.float32) * 2.0
+    cube = np.exp(logits)
+    cube /= cube.sum(axis=2, keepdims=True)
+    S_val = rng.random((c, gv)).astype(np.float32)
+    val_sims = rng.random(p).astype(np.float32)
+
+    dev = {
+        k: float(v)
+        for k, v in tuning._device_metrics(
+            jnp.asarray(cube), jnp.asarray(val_sims), jnp.asarray(S_val)
+        ).items()
+    }
+
+    gene_cube = np.array([S_val.T @ cube[r] for r in range(p)])
+    host = {
+        "cell_map_consistency": float(tuning.pearson_corr(cube).mean()),
+        "cell_map_agreement": float(1 - tuning.vote_entropy(cube).mean()),
+        "cell_map_certainty": float(
+            1 - tuning.consensus_entropy(cube).mean()
+        ),
+        "gene_expr_consistency": float(tuning.pearson_corr(gene_cube).mean()),
+        "gene_expr_correctness": float(val_sims.mean()),
+    }
+    assert set(dev) == set(host) == set(tuning.METRIC_KEYS)
+    for k in host:
+        assert dev[k] == pytest.approx(host[k], rel=1e-4, abs=1e-5), k
+
+
 def test_repeat_run_inits_match_reference_stream():
     """The tuner's 3 repeat inits must be the exact N(0,1) matrices the
     reference tuner's Mappers draw (random_state=run for run in 0,1,2, with
