@@ -200,12 +200,18 @@ def _tuner_throughput(rng, n_trials=32, num_epochs=1000):
         "seconds_per_trial_unbatched": round(sequential_s, 3),
     }
     try:  # measured reference arm (torch CPU — the only torch device here)
+        import os as _os
         import sys as _sys
 
-        _sys.path.insert(0, "/root/repo/tests")
+        _sys.path.insert(
+            0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                             "tests")
+        )
         from _reference import load_reference_optimizer
 
         REF = load_reference_optimizer()
+        if REF is None:  # returns None (not raise) when the ref is absent
+            raise FileNotFoundError("reference checkout not available")
         ref_epochs = 100  # extrapolated ×(num_epochs/100); linear in epochs
         t0 = time.perf_counter()
         for rep in range(3):
@@ -482,8 +488,15 @@ def main():
             result["spatial_reg_knn_50k_spots_ms_per_step"] = round(
                 _spatial_reg_step_time(rng, kwargs), 1
             )
-            # --- tuner population throughput (vs Ray's process-per-trial)
-            result["tuner_throughput"] = _tuner_throughput(rng)
+            # --- tuner population throughput (vs Ray's process-per-trial);
+            # own handler: a failure here must not clobber the metrics
+            # already measured above
+            try:
+                result["tuner_throughput"] = _tuner_throughput(rng)
+            except Exception as err:
+                result["tuner_throughput"] = (
+                    f"failed: {type(err).__name__}: {err}"
+                )
         except Exception as err:  # secondary metrics are best-effort
             result["atlas_50k_cells_x_25k_spots_ms_per_step"] = (
                 f"failed: {type(err).__name__}: {err}"

@@ -142,19 +142,20 @@ def pearson_corr(cube):
     strict lower triangle of the run×run correlation matrix, pairs in
     row-major order: (1,0), (2,0), (2,1), ...).
 
-    Computed from the (runs × runs) gram matrix:
-    cov = X·Xᵀ − (Σx)(Σx)ᵀ/N, corr = cov/√(var·varᵀ). Every O(runs · N)
-    operation is a BLAS matmul — generic numpy elementwise passes over the
-    N-sized axis are orders of magnitude slower than BLAS on weak/throttled
-    host cores, and the tuner calls this twice per trial. Cancellation in
-    the uncentered form is benign at f64 (relative error ~1e-16 of the
-    magnitudes involved); a zero-variance run reports 0 correlation."""
+    Computed as the gram matrix of the CENTERED rows: the mean comes from a
+    BLAS gemv, the centering is one in-place pass over the f64 copy (no
+    second N-sized allocation), and cov = X̃·X̃ᵀ is a BLAS gemm — the heavy
+    O(runs · N) work never runs through numpy's generic loops, which the
+    tuner would otherwise pay twice per trial. Centering before the gram
+    (rather than cov = X·Xᵀ − ssᵀ/N) avoids catastrophic cancellation for
+    high-mean/low-variance input. A zero-variance run reports 0
+    correlation (np.corrcoef would emit NaN)."""
     p = cube.shape[0]
     flat = cube.reshape(p, -1).astype(np.float64)
     n = flat.shape[1]
-    sums = flat @ np.ones(n, dtype=np.float64)
-    gram = flat @ flat.T
-    cov = gram - np.outer(sums, sums) / n
+    mean = (flat @ np.ones(n, dtype=np.float64)) / n
+    flat -= mean[:, None]
+    cov = flat @ flat.T
     var = np.maximum(np.diag(cov), 0.0)
     denom = np.sqrt(np.outer(var, var))
     i, j = np.tril_indices(p, -1)
@@ -203,7 +204,11 @@ def _device_metrics(Ps, val_sims, S_val):
 
     def pearson_mean(flat):
         centered = flat - flat.mean(axis=1, keepdims=True)
-        gram = centered @ centered.T
+        # full-f32 multiplies: TPU's default matmul precision is bf16, and
+        # ~1e-3 noise here can rank-swap close trials in halving/TPE
+        gram = jnp.einsum(
+            "pn,qn->pq", centered, centered, precision="highest"
+        )
         var = jnp.maximum(jnp.diagonal(gram), 0.0)
         denom = jnp.sqrt(jnp.outer(var, var))
         num, den = gram[tri_i, tri_j], denom[tri_i, tri_j]
@@ -226,7 +231,7 @@ def _device_metrics(Ps, val_sims, S_val):
     cnt = eq.sum(axis=1).astype(jnp.float32)  # (p, cells)
     vote_H = (-(1.0 / p) * jnp.log(cnt / p)).sum(axis=0) / jnp.log(n_spots)
 
-    gene_cube = jnp.einsum("rcs,cg->rgs", Ps, S_val)
+    gene_cube = jnp.einsum("rcs,cg->rgs", Ps, S_val, precision="highest")
     return {
         "cell_map_consistency": pearson_mean(Ps.reshape(p, -1)),
         "cell_map_agreement": 1.0 - vote_H.mean(),
@@ -326,6 +331,34 @@ def _active_lambdas(configs, lam_keys) -> frozenset:
     )
 
 
+def _space_active_lambdas(domains, lam_keys) -> frozenset:
+    """λ keys that CAN be nonzero under the search space: any distribution
+    counts (except a ``choice`` whose values are all zero), a fixed value
+    by its literal, anything unrecognized conservatively counts. Derived
+    once per tuner call so the active set — and therefore the compiled
+    program — is stable across adaptive ask/tell rounds instead of
+    flapping with each round's sampled values."""
+    active = set()
+    for k in lam_keys:
+        v = domains.get(k, 0.0)
+        if isinstance(v, choice):
+            if any(float(x) != 0.0 for x in v.values):
+                active.add(k)
+        elif isinstance(v, uniform):
+            # _coerce_domain renders a FIXED value as uniform(x, x), so a
+            # pinned 0.0 arrives here as uniform(0, 0) — inactive
+            if float(v.low) != 0.0 or float(v.high) != 0.0:
+                active.add(k)
+        elif isinstance(v, loguniform):
+            active.add(k)
+        elif isinstance(v, (int, float)) and not isinstance(v, bool):
+            if float(v) != 0.0:
+                active.add(k)
+        else:
+            active.add(k)
+    return frozenset(active)
+
+
 def train_multiple_Mapper(config, data):
     """Train N_REPEATS seeded mappers for one config and report the 5 metrics
     (reference ``:86-139``). Kept for API parity; the batched population path
@@ -390,7 +423,10 @@ class _PopulationSetup:
 
         Gm = self.G_dev * arrays[3][None, :]
         getis_ref = jax.jit(
-            lambda W, X: (W @ X) / jnp.maximum(X.sum(axis=0), 1e-30)
+            # full-f32 multiplies (TPU default is bf16): this is the loss
+            # term's reference vector, computed once
+            lambda W, X: jnp.einsum("st,tg->sg", W, X, precision="highest")
+            / jnp.maximum(X.sum(axis=0), 1e-30)
         )(arrays[7], Gm)
         self.arrays = arrays + (getis_ref,)
 
@@ -547,6 +583,7 @@ def _run_population(
     verbose: bool = False,
     mesh=None,
     setup: Optional[_PopulationSetup] = None,
+    active: Optional[frozenset] = None,
 ):
     import jax
 
@@ -564,8 +601,11 @@ def _run_population(
         by_epochs.setdefault(int(cfg.get("num_epochs", 1000)), []).append(idx)
 
     # λ keys that are zero across the whole population: their terms are
-    # statically skipped (notably the dense W-product spatial terms)
-    active = _active_lambdas(configs, setup.lam_keys)
+    # statically skipped (notably the dense W-product spatial terms). The
+    # public tuner passes a search-space-derived set so it is identical
+    # across adaptive rounds; direct callers fall back to this batch.
+    if active is None:
+        active = _active_lambdas(configs, setup.lam_keys)
 
     for num_epochs, idxs in by_epochs.items():
         fit_batched = setup.fit_batched(num_epochs, active)
@@ -633,6 +673,7 @@ def _run_halving(
     eta: int = 3,
     population_batch_size: int = 4,
     verbose: bool = False,
+    active: Optional[frozenset] = None,
 ):
     """Batched successive halving with epoch reallocation (the scheduler
     side of the reference's Ray stack — `tune.Tuner` + a pruning scheduler):
@@ -665,7 +706,8 @@ def _run_halving(
     S_dev, G_dev, train_mask = setup.S_dev, setup.G_dev, setup.train_mask
     mask_dev = jnp.asarray(train_mask)
     n = len(configs)
-    active = _active_lambdas(configs, lam_keys)
+    if active is None:
+        active = _active_lambdas(configs, lam_keys)
 
     def fit_chunk(lam_vec, lr_peak, lr_end, M, count, mu, nu, start, steps,
                   arrays, S_dev, G_dev, mask_dev):
@@ -1000,6 +1042,9 @@ def mapping_hyperparameter_tuning(
         verbose=verbose,
         mesh=mesh,
         setup=setup,
+        # derived from the SEARCH SPACE (not the sampled values) so every
+        # adaptive round / halving rung reuses one compiled program
+        active=_space_active_lambdas(domains, setup.lam_keys),
     )
 
     def from_unit_rows(unit_rows):
@@ -1067,6 +1112,7 @@ def mapping_hyperparameter_tuning(
             eta=int(halving_eta),
             population_batch_size=population_batch_size,
             verbose=verbose,
+            active=population_kwargs["active"],
         )
     else:
         # scrambled Sobol over the search space, one population

@@ -184,6 +184,36 @@ def test_tuner_loss_active_skip_is_exact():
     np.testing.assert_array_equal(np.asarray(full_g), np.asarray(skip_g))
 
 
+def test_pearson_corr_high_mean_low_variance(rng):
+    """Centering must happen before the gram matrix: an uncentered
+    cov = X·Xᵀ − ssᵀ/N cancels catastrophically when mean ≫ std (e.g. raw
+    count cubes offset by ~1e8) — pin agreement with np.corrcoef there."""
+    cube = (1e8 + rng.normal(size=(3, 50, 60)) * 0.1).astype(np.float64)
+    r = tuning.pearson_corr(cube)
+    C = np.corrcoef(cube.reshape(3, -1))
+    i, j = np.tril_indices(3, -1)
+    np.testing.assert_allclose(r, C[i, j], rtol=1e-6, atol=1e-9)
+
+
+def test_space_active_lambdas():
+    """The active-λ set is derived from the SEARCH SPACE so adaptive
+    rounds share one compiled program: distributions count as active
+    (except all-zero choices), fixed zeros (coerced to uniform(0,0)) do
+    not."""
+    domains = {
+        "lambda_g1": tuning.uniform(0.5, 1.0),
+        "lambda_d": tuning._coerce_domain(0.0),       # fixed 0 -> inactive
+        "lambda_r": tuning._coerce_domain(0.3),       # fixed nonzero
+        "lambda_getis_ord": tuning.choice([0.0, 0.0]),  # all-zero choice
+        "lambda_moran_like": tuning.choice([0.0, 0.5]),
+        "lambda_l1": tuning.loguniform(1e-6, 1e-2),
+    }
+    keys = list(domains) + ["lambda_absent"]
+    active = tuning._space_active_lambdas(domains, keys)
+    assert active == {"lambda_g1", "lambda_r", "lambda_moran_like",
+                      "lambda_l1"}
+
+
 def test_device_metrics_match_host_reference(rng):
     """The on-device metric implementations (_device_metrics — what the
     population paths report) must agree with the host numpy reference
