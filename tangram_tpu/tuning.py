@@ -868,12 +868,44 @@ def _select_order(Y: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+class _BestResult:
+    """Duck-types ``ray.train.Result``: ``.config`` and ``.metrics``."""
+
+    def __init__(self, row):
+        self.config = {
+            k.split("/", 1)[1]: row[k]
+            for k in row.index if k.startswith("config/")
+        }
+        self.metrics = {
+            k: row[k] for k in row.index if not k.startswith("config/")
+        }
+
+
 class _ResultGrid:
     def __init__(self, df):
         self._df = df
 
     def get_dataframe(self):
         return self._df
+
+    def get_best_result(self, metric=None, mode="max"):
+        """Best trial as a ``ray.train.Result``-shaped object (ray's
+        ``ResultGrid.get_best_result``). ``metric`` may be one name or a
+        list (multi-objective — the Pareto-best by the same
+        :func:`tangram_tpu.search.pareto_order` rule the samplers use);
+        ``mode`` is ``"max"`` or ``"min"`` (the 5 tuner metrics are all
+        maximized, ray's API still takes a mode)."""
+        if metric is None:
+            raise ValueError("get_best_result requires `metric`")
+        names = [metric] if isinstance(metric, str) else list(metric)
+        sign = {"max": 1.0, "min": -1.0}.get(mode)
+        if sign is None:
+            raise ValueError('mode must be "max" or "min"')
+        from .search import pareto_order
+
+        Y = sign * self._df[names].to_numpy(dtype=float)
+        best = int(pareto_order(Y)[0])
+        return _BestResult(self._df.iloc[best])
 
 
 class TunerResult:
@@ -940,13 +972,23 @@ def mapping_hyperparameter_tuning(
       changes the trial-axis extent every rung, which defeats static trial
       sharding — use ``"sobol"``/``"adaptive"`` for trial data
       parallelism).
+    * ``"adaptive+halving"`` — the two composed, as Ray composes
+      ``OptunaSearch`` with a pruning scheduler: TPE asks a bracket of
+      configurations, successive halving prunes the bracket, and every
+      trial's metrics (full-budget survivors and partial-budget
+      eliminations) feed the TPE model for the next bracket. Same fixed
+      ``num_epochs`` requirement and ``trained_epochs`` column as
+      ``"halving"``.
 
     Ray is not required for any mode.
     """
     del device
-    if search not in ("sobol", "adaptive", "halving"):
-        raise ValueError('search must be "sobol", "adaptive" or "halving"')
-    if search == "halving" and int(halving_eta) < 2:
+    if search not in ("sobol", "adaptive", "halving", "adaptive+halving"):
+        raise ValueError(
+            'search must be "sobol", "adaptive", "halving" or '
+            '"adaptive+halving"'
+        )
+    if "halving" in search and int(halving_eta) < 2:
         raise ValueError("halving_eta must be >= 2")
 
     if (type(density_prior) is str) and (
@@ -1095,25 +1137,63 @@ def mapping_hyperparameter_tuning(
                     tuner_num_samples,
                 )
         df = pd.concat(frames, ignore_index=True)
-    elif search == "halving" and domains:
-        # batched successive halving: Sobol-sample the population, then
-        # reallocate the epoch budget to the metric-best survivors
+    elif search in ("halving", "adaptive+halving") and domains:
         num_epochs = config.get("num_epochs", 1000)
         if not isinstance(num_epochs, (int, float)) or isinstance(
             num_epochs, bool
         ):
             raise ValueError(
-                'search="halving" requires a FIXED num_epochs in config — '
+                f'search="{search}" requires a FIXED num_epochs in config — '
                 "the halving schedule reallocates epochs itself"
             )
-        configs = from_unit_rows(sobol_unit_rows(tuner_num_samples))
-        df = _run_halving(
-            configs, list(metric), setup, int(num_epochs),
+        halving_kw = dict(
             eta=int(halving_eta),
             population_batch_size=population_batch_size,
             verbose=verbose,
             active=population_kwargs["active"],
         )
+        if search == "halving":
+            # batched successive halving: Sobol-sample the population, then
+            # reallocate the epoch budget to the metric-best survivors
+            configs = from_unit_rows(sobol_unit_rows(tuner_num_samples))
+            df = _run_halving(
+                configs, list(metric), setup, int(num_epochs), **halving_kw,
+            )
+        else:
+            # BOHB-style composition (the reference's Ray stack composes
+            # OptunaSearch with a pruning scheduler the same way): TPE asks
+            # a bracket of configs, successive halving prunes it, and every
+            # trial's metrics — full-budget survivors and partial-budget
+            # eliminations alike — feed back into the TPE model. Partial
+            # results are the basis halving eliminates on, so they carry
+            # the same relative-quality signal (single-model simplification
+            # of BOHB's per-budget Parzen models).
+            from .search import TPESampler
+
+            sampler = TPESampler(
+                n_dims=len(domains),
+                seed=random_state,
+                n_startup=min(16, max(4, tuner_num_samples // 4)),
+            )
+            bracket = max(int(halving_eta), int(population_batch_size))
+            configs, frames = [], []
+            while len(configs) < tuner_num_samples:
+                ask_n = min(bracket, tuner_num_samples - len(configs))
+                unit_rows = sampler.ask(ask_n)
+                bracket_configs = from_unit_rows(unit_rows)
+                frame = _run_halving(
+                    bracket_configs, list(metric), setup, int(num_epochs),
+                    **halving_kw,
+                )
+                sampler.tell(unit_rows, frame[list(metric)].to_numpy())
+                configs.extend(bracket_configs)
+                frames.append(frame)
+                if verbose:
+                    logging.info(
+                        "adaptive+halving tuner: %d/%d trials",
+                        len(configs), tuner_num_samples,
+                    )
+            df = pd.concat(frames, ignore_index=True)
     else:
         # scrambled Sobol over the search space, one population
         configs = from_unit_rows(sobol_unit_rows(tuner_num_samples))

@@ -368,6 +368,41 @@ def test_halving_restart_mode_matches_carried(tuner_adatas, monkeypatch):
         )
 
 
+def test_adaptive_halving_end_to_end(tuner_adatas):
+    """search='adaptive+halving' (the Ray OptunaSearch + pruning-scheduler
+    composition): TPE-sampled brackets, each pruned by successive halving;
+    deterministic given seeds; every bracket carries the halving rung
+    structure."""
+    ad_sc, ad_sp = tuner_adatas
+    config = {
+        "learning_rate": tuning.loguniform(0.01, 0.5),
+        "lambda_g1": tuning.uniform(0.5, 1.0),
+        "num_epochs": 24,
+    }
+    kw = dict(
+        metric=["gene_expr_correctness"], config=config,
+        tuner_num_samples=8, cluster_label="subclass_label",
+        search="adaptive+halving", halving_eta=2, random_state=3,
+        population_batch_size=4,
+    )
+    np.random.seed(7)
+    df = tg.mapping_hyperparameter_tuning(
+        ad_sc, ad_sp, **kw).get_results().get_dataframe()
+    assert len(df) == 8
+    assert "trained_epochs" in df.columns
+    # two brackets of 4, each with rungs (6 epochs: 2 trials) ->
+    # per bracket: 2 eliminated at 6, 1 at 12, winner 24
+    counts = df["trained_epochs"].value_counts().to_dict()
+    assert counts == {6: 4, 12: 2, 24: 2}
+    for m in tuning.METRIC_KEYS:
+        assert np.isfinite(df[m]).all()
+
+    np.random.seed(7)
+    df2 = tg.mapping_hyperparameter_tuning(
+        ad_sc, ad_sp, **kw).get_results().get_dataframe()
+    pd.testing.assert_frame_equal(df, df2)
+
+
 def test_halving_requires_fixed_num_epochs(tuner_adatas):
     ad_sc, ad_sp = tuner_adatas
     with pytest.raises(ValueError, match="FIXED num_epochs"):

@@ -184,6 +184,31 @@ def test_tuner_loss_active_skip_is_exact():
     np.testing.assert_array_equal(np.asarray(full_g), np.asarray(skip_g))
 
 
+def test_result_grid_get_best_result():
+    """Ray API parity: ResultGrid.get_best_result returns a Result-shaped
+    object with .config/.metrics; single metric picks the max (or min),
+    a metric list picks Pareto-best by the samplers' ordering rule."""
+    df = pd.DataFrame({
+        "gene_expr_correctness": [0.2, 0.9, 0.5],
+        "cell_map_consistency": [0.8, 0.1, 0.7],
+        "config/learning_rate": [0.1, 0.2, 0.3],
+    })
+    grid = tuning._ResultGrid(df)
+    best = grid.get_best_result(metric="gene_expr_correctness")
+    assert best.config == {"learning_rate": 0.2}
+    assert best.metrics["gene_expr_correctness"] == 0.9
+    worst = grid.get_best_result(metric="gene_expr_correctness", mode="min")
+    assert worst.config == {"learning_rate": 0.1}
+    multi = grid.get_best_result(
+        metric=["gene_expr_correctness", "cell_map_consistency"]
+    )
+    assert multi.config["learning_rate"] in (0.2, 0.3)  # both nondominated
+    with pytest.raises(ValueError, match="metric"):
+        grid.get_best_result()
+    with pytest.raises(ValueError, match="mode"):
+        grid.get_best_result(metric="gene_expr_correctness", mode="bogus")
+
+
 def test_pearson_corr_high_mean_low_variance(rng):
     """Centering must happen before the gram matrix: an uncentered
     cov = X·Xᵀ − ssᵀ/N cancels catastrophically when mean ≫ std (e.g. raw
