@@ -83,14 +83,16 @@ def run(seed: int, n_trials: int) -> int:
         s = int(rng.integers(6, 24))
         g = int(rng.integers(6, 16))
         n_types = int(rng.integers(2, 5))
-        search = str(rng.choice(["sobol", "adaptive", "halving"]))
+        search = str(rng.choice(
+            ["sobol", "adaptive", "halving", "adaptive+halving"]
+        ))
         n_samples = int(rng.integers(3, 9))
         batch = int(rng.integers(2, 5))
         metric = list(rng.choice(
             tuning.METRIC_KEYS, size=int(rng.integers(1, 3)), replace=False
         ))
         config = random_space(rng)
-        if search == "halving":
+        if "halving" in search:
             config["num_epochs"] = 16  # fixed budget required
         seed_t = int(rng.integers(0, 2**31))
 
@@ -115,7 +117,7 @@ def run(seed: int, n_trials: int) -> int:
             df2 = tg.mapping_hyperparameter_tuning(
                 ad_sc, ad_sp, **kw).get_results().get_dataframe()
             pd.testing.assert_frame_equal(df1, df2)
-            if search == "halving":
+            if "halving" in search:
                 # restart-mode rungs must reproduce carried-state results
                 import tangram_tpu.utils as tpu_utils
 
