@@ -403,6 +403,30 @@ def test_adaptive_halving_end_to_end(tuner_adatas):
     pd.testing.assert_frame_equal(df, df2)
 
 
+def test_adaptive_halving_concentrates_later_brackets(tuner_adatas):
+    """The composition's mechanism: metrics fed back from pruned brackets
+    steer later brackets' samples toward the best-observed region, so the
+    last bracket's configs sit closer (in log-lr) to the best trial than
+    the first (Sobol-startup) bracket's."""
+    ad_sc, ad_sp = tuner_adatas
+    config = {
+        "learning_rate": tuning.loguniform(1e-4, 2.0),  # wide; optimum inside
+        "num_epochs": 16,
+    }
+    np.random.seed(5)
+    df = tg.mapping_hyperparameter_tuning(
+        ad_sc, ad_sp, ["gene_expr_correctness"], config,
+        tuner_num_samples=24, cluster_label="subclass_label",
+        search="adaptive+halving", halving_eta=2, random_state=0,
+        population_batch_size=4,
+    ).get_results().get_dataframe()
+    assert len(df) == 24
+    lr = np.log10(df["config/learning_rate"].to_numpy())
+    best = lr[int(np.argmax(df["gene_expr_correctness"].to_numpy()))]
+    first, last = lr[:4], lr[-4:]
+    assert np.median(np.abs(last - best)) < np.median(np.abs(first - best))
+
+
 def test_halving_requires_fixed_num_epochs(tuner_adatas):
     ad_sc, ad_sp = tuner_adatas
     with pytest.raises(ValueError, match="FIXED num_epochs"):
