@@ -204,7 +204,10 @@ else:
   chain**: `examples/tutorial_deconvolution.py`.
 - **Hyperparameter tuning**: `tg.mapping_hyperparameter_tuning(...)` — the
   5 stability metrics of the reference tuner, trials vmapped on device;
-  `search="adaptive"` adds Optuna-style multi-objective TPE rounds.
+  `search="adaptive"` adds Optuna-style multi-objective TPE rounds,
+  `search="halving"` batched successive-halving pruning, and
+  `search="adaptive+halving"` both composed; pick the winner with
+  `.get_results().get_best_result(metric=...)`.
 - **Checkpoint/resume**: `tangram_tpu.checkpoint.train_checkpointed`
   (Orbax, bit-exact resume with Adam moments).
 - **The 100k × 50k north star**: `python scripts/north_star.py` on a pod
