@@ -104,6 +104,91 @@ def test_h5ad_sparse_X_roundtrip(rng, tmp_path):
     np.testing.assert_allclose(back.X.toarray(), X.toarray())
 
 
+@pytest.mark.parametrize("seed", range(6))
+def test_h5ad_roundtrip_randomized(seed, tmp_path):
+    """Property-style round-trip over random container structures: dense
+    f32/f64 and CSR/CSC X, numeric/string/categorical/bool obs columns,
+    nested uns (scalars, strings, arrays, string lists), random
+    obsm/varm/obsp/layers presence."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(2, 15))
+    m = int(rng.integers(2, 12))
+    dense = rng.poisson(1.0, (n, m)).astype(
+        np.float64 if rng.random() < 0.3 else np.float32
+    )
+    xkind = rng.choice(["dense", "csr", "csc"])
+    X = {"dense": dense,
+         "csr": sp.csr_matrix(dense),
+         "csc": sp.csc_matrix(dense)}[xkind]
+    obs = pd.DataFrame(index=[f"cell-{i}" for i in range(n)])
+    if rng.random() < 0.8:
+        obs["f"] = rng.random(n)
+    if rng.random() < 0.8:
+        obs["i"] = rng.integers(0, 5, n)
+    if rng.random() < 0.8:
+        obs["s"] = [f"s{int(v)}" for v in rng.integers(0, 3, n)]
+    if rng.random() < 0.8:
+        obs["cat"] = pd.Categorical(rng.choice(["a", "b", "c"], n))
+    if rng.random() < 0.5:
+        obs["flag"] = rng.random(n) < 0.5
+    var = pd.DataFrame(index=[f"gene_{j}" for j in range(m)])
+    if rng.random() < 0.5:
+        var["score"] = rng.random(m)
+    ad = AnnData(X=X, obs=obs, var=var)
+    ad.uns["nested"] = {
+        "alpha": float(rng.random()),
+        "count": int(rng.integers(0, 100)),
+        "name": "trial",
+        "arr": rng.random(4),
+        "genes": [f"gene_{j}" for j in range(min(3, m))],
+        "inner": {"k": 2},
+    }
+    if rng.random() < 0.7:
+        ad.obsm["spatial"] = rng.random((n, 2))
+    if rng.random() < 0.5:
+        ad.varm["pcs"] = rng.random((m, 3))
+    if rng.random() < 0.7:
+        ad.obsp["graph"] = sp.random(n, n, density=0.4, format="csr")
+    if rng.random() < 0.5:
+        ad.layers["counts"] = dense.copy()
+
+    path = tmp_path / f"rt{seed}.h5ad"
+    ad.write_h5ad(path)
+    back = read_h5ad(path)
+
+    def as_dense(v):
+        return v.toarray() if sp.issparse(v) else np.asarray(v)
+
+    np.testing.assert_allclose(as_dense(back.X), dense)
+    assert sp.issparse(back.X) == sp.issparse(X)
+    assert list(back.obs.index) == list(ad.obs.index)
+    assert list(back.var.index) == list(ad.var.index)
+    assert list(back.obs.columns) == list(ad.obs.columns)
+    for col in obs.columns:
+        np.testing.assert_array_equal(
+            np.asarray(back.obs[col]), np.asarray(ad.obs[col]),
+            err_msg=f"obs[{col}]",
+        )
+    for col in var.columns:
+        np.testing.assert_array_equal(
+            np.asarray(back.var[col]), np.asarray(ad.var[col]))
+    nested = back.uns["nested"]
+    assert nested["alpha"] == pytest.approx(ad.uns["nested"]["alpha"])
+    assert int(nested["count"]) == ad.uns["nested"]["count"]
+    assert nested["name"] == "trial"
+    np.testing.assert_allclose(
+        np.asarray(nested["arr"]), ad.uns["nested"]["arr"])
+    assert list(nested["genes"]) == ad.uns["nested"]["genes"]
+    assert int(nested["inner"]["k"]) == 2
+    for grp in ("obsm", "varm", "obsp", "layers"):
+        ours, theirs = getattr(ad, grp), getattr(back, grp)
+        assert set(ours.keys()) == set(theirs.keys()), grp
+        for k in ours:
+            np.testing.assert_allclose(
+                as_dense(theirs[k]), as_dense(ours[k]), err_msg=f"{grp}[{k}]"
+            )
+
+
 def test_copy_is_deep(rng):
     ad = make_adata(rng)
     cp = ad.copy()
