@@ -233,6 +233,55 @@ def _tuner_throughput(rng, n_trials=32, num_epochs=1000):
     return out
 
 
+def _loo_cv_seconds(rng, n_types=22, n_spots=9_852, n_genes=249,
+                    num_epochs=1000):
+    """Measured wall seconds for the reference's single biggest compute
+    amplifier (SURVEY §3.4): leave-one-out CV over all training genes —
+    ``n_genes`` FULL retrainings. The reference runs them as a sequential
+    Python loop (``utils.py:576``); here all folds train as one vmapped
+    compiled batch. Warm timing (compile excluded, persistent-cached like
+    the other metrics); clusters mode at the tutorial's cluster scale."""
+    import pandas as pd
+
+    import tangram_tpu as tg
+
+    genes = [f"g{i}" for i in range(n_genes)]
+    cells_per_type = 12
+    n_cells = n_types * cells_per_type
+    ad_sc = tg.AnnData(
+        X=(rng.poisson(2.0, (n_cells, n_genes)) + 1).astype(np.float32),
+        obs=pd.DataFrame(
+            {"subclass_label": np.repeat(
+                [f"t{t}" for t in range(n_types)], cells_per_type)},
+            index=[f"cell{i}" for i in range(n_cells)],
+        ),
+        var=pd.DataFrame(index=genes),
+    )
+    ad_sp = tg.AnnData(
+        X=(rng.poisson(3.0, (n_spots, n_genes)) + 1).astype(np.float32),
+        var=pd.DataFrame(index=genes),
+    )
+    tg.pp_adatas(ad_sc, ad_sp)
+
+    def run():
+        t0 = time.perf_counter()
+        scores = tg.cross_val(
+            ad_sc, ad_sp, cluster_label="subclass_label", mode="clusters",
+            num_epochs=num_epochs, cv_mode="loo", random_state=42,
+            verbose=False,
+        )
+        return time.perf_counter() - t0, scores
+
+    run()  # compile (persistent-cached)
+    elapsed, scores = run()
+    return {
+        "workload": f"{n_genes} LOO folds x {num_epochs} epochs, "
+                    f"clusters {n_types}x{n_spots}",
+        "seconds": round(elapsed, 2),
+        "avg_test_score": round(float(scores["avg_test_score"]), 4),
+    }
+
+
 def _validate_comm_model_against_hlo(model_wire_bytes):
     """Cross-check the hand psum model against the collectives XLA actually
     emits: lower ONE fused sharded step at the north-star spot/gene shape on
@@ -497,6 +546,11 @@ def main():
                 result["tuner_throughput"] = (
                     f"failed: {type(err).__name__}: {err}"
                 )
+            # --- LOO CV (the reference's biggest compute amplifier)
+            try:
+                result["loo_cv"] = _loo_cv_seconds(rng)
+            except Exception as err:
+                result["loo_cv"] = f"failed: {type(err).__name__}: {err}"
         except Exception as err:  # secondary metrics are best-effort
             result["atlas_50k_cells_x_25k_spots_ms_per_step"] = (
                 f"failed: {type(err).__name__}: {err}"
