@@ -64,19 +64,40 @@ def device_memory_budget(device=None, fraction=0.5):
     v5e instead of assuming one fixed size. Backends that report no memory
     stats (CPU, some simulators) fall back to conservative constants:
     8 GB on TPU, 2 GB elsewhere.
+
+    The query runs on a daemon thread with a short timeout: on remote /
+    tunneled backends ``memory_stats()`` is an RPC and must never be able
+    to hang auto batch sizing — an unresponsive backend degrades to the
+    constant fallback instead.
     """
     import jax
 
     if device is None:
         device = jax.local_devices()[0]
-    try:
-        stats = device.memory_stats() or {}
-    except Exception:
-        stats = {}
+    stats = _memory_stats_with_timeout(device) or {}
     limit = stats.get("bytes_limit")
     if limit:
         return fraction * float(limit)
     return 8e9 if device.platform == "tpu" else 2e9
+
+
+def _memory_stats_with_timeout(device, timeout_s=5.0):
+    """``device.memory_stats()`` bounded by ``timeout_s``; ``None`` if the
+    call raises, returns nothing, or does not come back in time."""
+    import threading
+
+    box = {}
+
+    def query():
+        try:
+            box["stats"] = device.memory_stats()
+        except Exception:
+            box["stats"] = None
+
+    t = threading.Thread(target=query, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return box.get("stats")
 
 
 def read_pickle(filename):

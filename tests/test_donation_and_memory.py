@@ -119,3 +119,33 @@ def test_memory_budget_fallbacks():
             raise RuntimeError("unsupported")
 
     assert device_memory_budget(Raising()) == 8e9
+
+
+def test_memory_budget_survives_hung_backend(monkeypatch):
+    """A remote backend whose memory_stats RPC never returns must not hang
+    auto batch sizing — the query is bounded and degrades to the constant."""
+    import time
+
+    import tangram_tpu.utils as tpu_utils
+
+    class Hanging:
+        platform = "tpu"
+
+        def memory_stats(self):
+            time.sleep(30)
+            return {"bytes_limit": 1}
+
+    real_helper = tpu_utils._memory_stats_with_timeout
+    t0 = time.perf_counter()
+    assert real_helper(Hanging(), timeout_s=0.2) is None
+    assert time.perf_counter() - t0 < 5.0
+
+    # the public entry falls back; shorten the helper's timeout so the
+    # test stays fast (the production default is 5 s)
+    monkeypatch.setattr(
+        tpu_utils, "_memory_stats_with_timeout",
+        lambda device: real_helper(device, timeout_s=0.2),
+    )
+    t0 = time.perf_counter()
+    assert device_memory_budget(Hanging()) == 8e9
+    assert time.perf_counter() - t0 < 5.0
