@@ -332,10 +332,32 @@ def _validate_comm_model_against_hlo(model_wire_bytes):
     }
 
 
+def _backend_reachable(timeout_s=180):
+    """Probe backend init in a subprocess with a hard timeout. On remote /
+    tunneled accelerator backends ``jax.devices()`` is an RPC chain that can
+    block forever when the tunnel is down; probing out-of-process lets the
+    bench fall back to the labeled CPU-projected path instead of hanging."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        return "ok" in proc.stdout
+    except Exception:
+        return False
+
+
 def main():
     import gc
 
     import jax
+
+    if not _backend_reachable():
+        print("bench: accelerator backend unreachable, falling back to "
+              "CPU-projected numbers", file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
