@@ -28,6 +28,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -354,10 +355,12 @@ def main():
 
     import jax
 
-    if not _backend_reachable():
-        print("bench: accelerator backend unreachable, falling back to "
-              "CPU-projected numbers", file=sys.stderr)
-        jax.config.update("jax_platforms", "cpu")
+    # CPU-pinned runs (CI/dev) can't hang at backend init — skip the probe
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() != "cpu":
+        if not _backend_reachable():
+            print("bench: accelerator backend unreachable, falling back to "
+                  "CPU-projected numbers", file=sys.stderr)
+            jax.config.update("jax_platforms", "cpu")
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -526,6 +526,92 @@ class _PopulationSetup:
         self._fit_cache[cache_key] = fn
         return fn
 
+    def fit_halving(self, num_epochs: int, active: Optional[frozenset] = None):
+        """The jitted resumable (configs × repeats) trainer halving rungs
+        use: continues each run for ``steps`` epochs from absolute epoch
+        ``start``, carrying Adam state, with the cosine schedule spanning
+        the FULL ``num_epochs`` budget (partial training follows the same
+        trajectory a full run would). Cached per (num_epochs, active) like
+        :meth:`fit_batched` — ``search="adaptive+halving"`` calls this once
+        per TPE bracket, and every bracket replays the same rung shapes, so
+        the jit trace cache must persist across brackets instead of being
+        rebuilt (and recompiled) per `_run_halving` call."""
+        num_epochs = int(num_epochs)
+        cache_key = ("halving", num_epochs, active)
+        if cache_key in self._fit_cache:
+            return self._fit_cache[cache_key]
+
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from .models.mapper import make_adam
+        from .ops.losses import val_metrics
+        from .ops.schedules import cosine_value
+
+        lam_keys = self.lam_keys
+
+        def fit_chunk(lam_vec, lr_peak, lr_end, M, count, mu, nu, start,
+                      steps, arrays, S_dev, G_dev, mask_dev):
+            # data rides as jit arguments, not closure constants (see
+            # fit_batched above)
+            lam = {k: lam_vec[i] for i, k in enumerate(lam_keys)}
+            optimizer = make_adam(1.0)
+            template = optimizer.init(M)
+            opt_state = (
+                template[0]._replace(count=count, mu=mu, nu=nu),
+            ) + tuple(template[1:])
+
+            def step(carry, t):
+                M, opt_state = carry
+                lr_t = cosine_value(t, lr_peak, lr_end, num_epochs, xp=jnp)
+                grads = jax.grad(
+                    lambda m: _tuner_loss(m, lam, arrays, active)[0]
+                )(M)
+                updates, opt_state = optimizer.update(grads, opt_state, M)
+                updates = jax.tree.map(lambda u: u * lr_t, updates)
+                return (optax.apply_updates(M, updates), opt_state), None
+
+            (M, opt_state), _ = jax.lax.scan(
+                step, (M, opt_state),
+                start + jnp.arange(steps, dtype=jnp.float32),
+            )
+            adam = opt_state[0]
+            P = jax.nn.softmax(M, axis=1)
+            vm = val_metrics(M, S_dev, G_dev, gene_mask=mask_dev, impl="xla")
+            return M, adam.count, adam.mu, adam.nu, P, vm["val_gene_sim"]
+
+        data_axes = (None, None, None, None)
+
+        def chunk_config(lam_vec, lr_peak, lr_end, M, count, mu, nu, start,
+                         steps, arrays_, S_dev_, G_dev_, mask_dev_, S_val):
+            M, count, mu, nu, Ps, val_sims = jax.vmap(  # repeats
+                fit_chunk,
+                in_axes=(None, None, None, 0, 0, 0, 0, None, None)
+                + data_axes,
+            )(lam_vec, lr_peak, lr_end, M, count, mu, nu, start, steps,
+              arrays_, S_dev_, G_dev_, mask_dev_)
+            return M, count, mu, nu, _device_metrics(Ps, val_sims, S_val)
+
+        fit_raw = jax.jit(
+            jax.vmap(  # configs
+                chunk_config,
+                in_axes=(0, 0, 0, 0, 0, 0, 0, None, None) + data_axes
+                + (None,),
+            ),
+            static_argnums=(8,),
+        )
+        mask_dev = jnp.asarray(self.train_mask)
+
+        def fn(lam_mat_, lr_peaks_, lr_ends_, M_, count_, mu_, nu_, start_,
+               steps_):
+            return fit_raw(lam_mat_, lr_peaks_, lr_ends_, M_, count_, mu_,
+                           nu_, start_, steps_, self.arrays, self.S_dev,
+                           self.G_dev, mask_dev, self.S_val_dev)
+
+        self._fit_cache[cache_key] = fn
+        return fn
+
     def lam_matrix(self, configs, idxs):
         import jax.numpy as jnp
 
@@ -695,79 +781,14 @@ def _run_halving(
     Returns a row per trial with the 5 metrics at its last rung plus a
     ``trained_epochs`` column.
     """
-    import jax
     import jax.numpy as jnp
-    import optax
 
-    from .models.mapper import make_adam
-    from .ops.losses import val_metrics
-
-    arrays, M0s, lam_keys = setup.arrays, setup.M0s, setup.lam_keys
-    S_dev, G_dev, train_mask = setup.S_dev, setup.G_dev, setup.train_mask
-    mask_dev = jnp.asarray(train_mask)
+    M0s, lam_keys = setup.M0s, setup.lam_keys
     n = len(configs)
     if active is None:
         active = _active_lambdas(configs, lam_keys)
 
-    def fit_chunk(lam_vec, lr_peak, lr_end, M, count, mu, nu, start, steps,
-                  arrays, S_dev, G_dev, mask_dev):
-        """Continue one run for `steps` epochs from absolute epoch `start`
-        (the cosine schedule spans the FULL num_epochs budget, so partial
-        training follows the same trajectory a full run would). The data
-        rides as jit arguments, not closure constants (see
-        ``_PopulationSetup.fit_batched``)."""
-        lam = {k: lam_vec[i] for i, k in enumerate(lam_keys)}
-        optimizer = make_adam(1.0)
-        template = optimizer.init(M)
-        opt_state = (
-            template[0]._replace(count=count, mu=mu, nu=nu),
-        ) + tuple(template[1:])
-
-        def step(carry, t):
-            M, opt_state = carry
-            from .ops.schedules import cosine_value
-
-            lr_t = cosine_value(t, lr_peak, lr_end, num_epochs, xp=jnp)
-            grads = jax.grad(
-                lambda m: _tuner_loss(m, lam, arrays, active)[0]
-            )(M)
-            updates, opt_state = optimizer.update(grads, opt_state, M)
-            updates = jax.tree.map(lambda u: u * lr_t, updates)
-            return (optax.apply_updates(M, updates), opt_state), None
-
-        (M, opt_state), _ = jax.lax.scan(
-            step, (M, opt_state),
-            start + jnp.arange(steps, dtype=jnp.float32),
-        )
-        adam = opt_state[0]
-        P = jax.nn.softmax(M, axis=1)
-        vm = val_metrics(M, S_dev, G_dev, gene_mask=mask_dev, impl="xla")
-        return M, adam.count, adam.mu, adam.nu, P, vm["val_gene_sim"]
-
-    data_axes = (None, None, None, None)
-
-    def chunk_config(lam_vec, lr_peak, lr_end, M, count, mu, nu, start,
-                     steps, arrays_, S_dev_, G_dev_, mask_dev_, S_val):
-        M, count, mu, nu, Ps, val_sims = jax.vmap(  # repeats
-            fit_chunk,
-            in_axes=(None, None, None, 0, 0, 0, 0, None, None) + data_axes,
-        )(lam_vec, lr_peak, lr_end, M, count, mu, nu, start, steps,
-          arrays_, S_dev_, G_dev_, mask_dev_)
-        return M, count, mu, nu, _device_metrics(Ps, val_sims, S_val)
-
-    fit_raw = jax.jit(
-        jax.vmap(  # configs
-            chunk_config,
-            in_axes=(0, 0, 0, 0, 0, 0, 0, None, None) + data_axes + (None,),
-        ),
-        static_argnums=(8,),
-    )
-
-    def fit_batched(lam_mat_, lr_peaks_, lr_ends_, M_, count_, mu_, nu_,
-                    start_, steps_):
-        return fit_raw(lam_mat_, lr_peaks_, lr_ends_, M_, count_, mu_, nu_,
-                       start_, steps_, arrays, S_dev, G_dev, mask_dev,
-                       setup.S_val_dev)
+    fit_batched = setup.fit_halving(num_epochs, active)
 
     lam_mat = setup.lam_matrix(configs, range(n))
     lr_peaks, lr_ends = setup.lr_vectors(configs, range(n))
@@ -905,6 +926,14 @@ class _ResultGrid:
 
         Y = sign * self._df[names].to_numpy(dtype=float)
         best = int(pareto_order(Y)[0])
+        if not np.all(np.isfinite(Y[best])):
+            # pareto_order sorts NaN (diverged) trials last, so reaching
+            # one here means EVERY trial diverged — don't hand back an
+            # arbitrary config as "best" silently
+            logging.warning(
+                "get_best_result: no trial has finite %s metrics (all "
+                "trials diverged?); returning an arbitrary trial", names,
+            )
         return _BestResult(self._df.iloc[best])
 
 
@@ -1112,9 +1141,11 @@ def mapping_hyperparameter_tuning(
             )
             return sampler.random(n)
 
-    if search == "adaptive" and domains:
-        # ask/tell TPE rounds: each round is one vmapped on-device batch;
-        # the selected `metric` columns are the (maximized) objectives
+    def tpe_ask_tell_rounds(batch, runner, label):
+        """The shared TPE ask/tell loop: ask a batch, run it as one vmapped
+        on-device program, tell the sampler the selected (maximized)
+        ``metric`` columns back. Both adaptive modes differ only in the
+        per-round runner (full-budget population vs halving bracket)."""
         from .search import TPESampler
 
         sampler = TPESampler(
@@ -1124,19 +1155,26 @@ def mapping_hyperparameter_tuning(
         )
         configs, frames = [], []
         while len(configs) < tuner_num_samples:
-            ask_n = min(population_batch_size, tuner_num_samples - len(configs))
+            ask_n = min(batch, tuner_num_samples - len(configs))
             unit_rows = sampler.ask(ask_n)
             round_configs = from_unit_rows(unit_rows)
-            frame = _run_population(configs=round_configs, **population_kwargs)
+            frame = runner(round_configs)
             sampler.tell(unit_rows, frame[list(metric)].to_numpy())
             configs.extend(round_configs)
             frames.append(frame)
             if verbose:
                 logging.info(
-                    "adaptive tuner: %d/%d trials", len(configs),
+                    "%s tuner: %d/%d trials", label, len(configs),
                     tuner_num_samples,
                 )
-        df = pd.concat(frames, ignore_index=True)
+        return configs, pd.concat(frames, ignore_index=True)
+
+    if search == "adaptive" and domains:
+        configs, df = tpe_ask_tell_rounds(
+            population_batch_size,
+            lambda cfgs: _run_population(configs=cfgs, **population_kwargs),
+            "adaptive",
+        )
     elif search in ("halving", "adaptive+halving") and domains:
         num_epochs = config.get("num_epochs", 1000)
         if not isinstance(num_epochs, (int, float)) or isinstance(
@@ -1168,32 +1206,13 @@ def mapping_hyperparameter_tuning(
             # results are the basis halving eliminates on, so they carry
             # the same relative-quality signal (single-model simplification
             # of BOHB's per-budget Parzen models).
-            from .search import TPESampler
-
-            sampler = TPESampler(
-                n_dims=len(domains),
-                seed=random_state,
-                n_startup=min(16, max(4, tuner_num_samples // 4)),
+            configs, df = tpe_ask_tell_rounds(
+                max(int(halving_eta), int(population_batch_size)),
+                lambda cfgs: _run_halving(
+                    cfgs, list(metric), setup, int(num_epochs), **halving_kw,
+                ),
+                "adaptive+halving",
             )
-            bracket = max(int(halving_eta), int(population_batch_size))
-            configs, frames = [], []
-            while len(configs) < tuner_num_samples:
-                ask_n = min(bracket, tuner_num_samples - len(configs))
-                unit_rows = sampler.ask(ask_n)
-                bracket_configs = from_unit_rows(unit_rows)
-                frame = _run_halving(
-                    bracket_configs, list(metric), setup, int(num_epochs),
-                    **halving_kw,
-                )
-                sampler.tell(unit_rows, frame[list(metric)].to_numpy())
-                configs.extend(bracket_configs)
-                frames.append(frame)
-                if verbose:
-                    logging.info(
-                        "adaptive+halving tuner: %d/%d trials",
-                        len(configs), tuner_num_samples,
-                    )
-            df = pd.concat(frames, ignore_index=True)
     else:
         # scrambled Sobol over the search space, one population
         configs = from_unit_rows(sobol_unit_rows(tuner_num_samples))

@@ -74,11 +74,20 @@ def device_memory_budget(device=None, fraction=0.5):
 
     if device is None:
         device = jax.local_devices()[0]
-    stats = _memory_stats_with_timeout(device) or {}
-    limit = stats.get("bytes_limit")
+    if device not in _BYTES_LIMIT_CACHE:
+        # bytes_limit is a static property of the chip: query it once per
+        # device, so a hung backend costs one bounded stall (and one leaked
+        # prober thread) total rather than one per call — halving calls
+        # this once per rung/bracket
+        stats = _memory_stats_with_timeout(device) or {}
+        _BYTES_LIMIT_CACHE[device] = stats.get("bytes_limit")
+    limit = _BYTES_LIMIT_CACHE[device]
     if limit:
         return fraction * float(limit)
     return 8e9 if device.platform == "tpu" else 2e9
+
+
+_BYTES_LIMIT_CACHE = {}
 
 
 def _memory_stats_with_timeout(device, timeout_s=5.0):

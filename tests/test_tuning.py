@@ -209,6 +209,35 @@ def test_result_grid_get_best_result():
         grid.get_best_result(metric="gene_expr_correctness", mode="bogus")
 
 
+def test_get_best_result_warns_when_all_trials_diverged(caplog):
+    """Every trial NaN (e.g. the whole lr space diverged): the pick is
+    arbitrary, so the user must be told instead of silently handed a
+    diverged config. A finite trial among NaNs wins without a warning."""
+    import logging as _logging
+
+    all_nan = pd.DataFrame({
+        "gene_expr_correctness": [float("nan")] * 3,
+        "config/learning_rate": [0.1, 0.2, 0.3],
+    })
+    with caplog.at_level(_logging.WARNING):
+        tuning._ResultGrid(all_nan).get_best_result(
+            metric="gene_expr_correctness"
+        )
+    assert any("no trial has finite" in r.message for r in caplog.records)
+
+    caplog.clear()
+    mixed = pd.DataFrame({
+        "gene_expr_correctness": [float("nan"), 0.4, float("nan")],
+        "config/learning_rate": [0.1, 0.2, 0.3],
+    })
+    with caplog.at_level(_logging.WARNING):
+        best = tuning._ResultGrid(mixed).get_best_result(
+            metric="gene_expr_correctness"
+        )
+    assert best.config == {"learning_rate": 0.2}
+    assert not any("no trial has finite" in r.message for r in caplog.records)
+
+
 def test_pearson_corr_high_mean_low_variance(rng):
     """Centering must happen before the gram matrix: an uncentered
     cov = X·Xᵀ − ssᵀ/N cancels catastrophically when mean ≫ std (e.g. raw
