@@ -121,6 +121,24 @@ def test_memory_budget_fallbacks():
     assert device_memory_budget(Raising()) == 8e9
 
 
+def test_memory_budget_queries_each_device_once():
+    """bytes_limit is static per chip — repeated budget calls (halving
+    calls one per rung) must reuse the first query's answer."""
+    calls = []
+
+    class Counting:
+        platform = "tpu"
+
+        def memory_stats(self):
+            calls.append(1)
+            return {"bytes_limit": 16e9}
+
+    dev = Counting()
+    assert device_memory_budget(dev) == pytest.approx(8e9)
+    assert device_memory_budget(dev, fraction=0.25) == pytest.approx(4e9)
+    assert len(calls) == 1
+
+
 def test_memory_budget_survives_hung_backend(monkeypatch):
     """A remote backend whose memory_stats RPC never returns must not hang
     auto batch sizing — the query is bounded and degrades to the constant."""
