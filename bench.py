@@ -264,23 +264,36 @@ def _loo_cv_seconds(rng, n_types=22, n_spots=9_852, n_genes=249,
     )
     tg.pp_adatas(ad_sc, ad_sp)
 
-    def run():
+    def run(**kw):
         t0 = time.perf_counter()
         scores = tg.cross_val(
             ad_sc, ad_sp, cluster_label="subclass_label", mode="clusters",
-            num_epochs=num_epochs, cv_mode="loo", random_state=42,
-            verbose=False,
+            cv_mode="loo", random_state=42, verbose=False, **kw,
         )
         return time.perf_counter() - t0, scores
 
-    run()  # compile (persistent-cached)
-    elapsed, scores = run()
-    return {
+    run(num_epochs=num_epochs)  # compile (persistent-cached)
+    elapsed, scores = run(num_epochs=num_epochs)
+    out = {
         "workload": f"{n_genes} LOO folds x {num_epochs} epochs, "
                     f"clusters {n_types}x{n_spots}",
         "seconds": round(elapsed, 2),
         "avg_test_score": round(float(scores["avg_test_score"]), 4),
     }
+    # tuned-schedule variant (opt-in extension the reference cannot
+    # express): cosine lr over 200 epochs reaches an equal held-out score
+    # in a fraction of the constant-lr budget
+    from tangram_tpu.ops.schedules import cosine_lr
+
+    tuned = dict(num_epochs=200, learning_rate=cosine_lr(1.0, 200, end=0.1))
+    run(**tuned)
+    t_elapsed, t_scores = run(**tuned)
+    out["tuned_schedule"] = {
+        "schedule": "cosine(peak=1.0, end=0.1, 200 epochs)",
+        "seconds": round(t_elapsed, 2),
+        "avg_test_score": round(float(t_scores["avg_test_score"]), 4),
+    }
+    return out
 
 
 def _validate_comm_model_against_hlo(model_wire_bytes):
