@@ -152,6 +152,7 @@ def test_loss_matches_reference(rng, kwargs):
     )
     ref_mapper.M = torch.tensor(M, dtype=torch.float32, requires_grad=True)
     ref_total, ref_main, ref_vg, ref_kl, ref_ent = ref_mapper._loss_fn(verbose=False)
+    ref_total = ref_total.detach()  # float() on a grad-carrying tensor warns
 
     lw = LossWeights(**{k: float(v) for k, v in kwargs.items()})
     data = MapperData(
@@ -195,6 +196,7 @@ def test_constrained_loss_matches_reference(rng):
     ref.F = torch.tensor(F, dtype=torch.float32, requires_grad=True)
     out = ref._loss_fn(verbose=False)
     ref_total, ref_main, ref_vg, ref_kl, ref_ent, ref_count, ref_freg = out
+    ref_total = ref_total.detach()  # float() on a grad-carrying tensor warns
 
     lw = LossWeights(
         lambda_g1=1.0, lambda_d=0.5, lambda_g2=0.7, lambda_r=0.2,
