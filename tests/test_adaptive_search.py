@@ -403,6 +403,38 @@ def test_adaptive_halving_end_to_end(tuner_adatas):
     pd.testing.assert_frame_equal(df, df2)
 
 
+def test_adaptive_halving_reuses_one_compiled_trainer(tuner_adatas):
+    """Every TPE bracket replays the same rung shapes, so _run_halving must
+    reuse the setup-cached jitted trainer across brackets instead of
+    rebuilding (and re-tracing) it per call."""
+    ad_sc, ad_sp = tuner_adatas
+    returned = []
+    orig = tuning._PopulationSetup.fit_halving
+
+    def spy(self, num_epochs, active=None):
+        fn = orig(self, num_epochs, active)
+        returned.append(fn)
+        return fn
+
+    config = {
+        "learning_rate": tuning.loguniform(0.01, 0.5),
+        "num_epochs": 24,
+    }
+    np.random.seed(7)
+    try:
+        tuning._PopulationSetup.fit_halving = spy
+        tg.mapping_hyperparameter_tuning(
+            ad_sc, ad_sp, metric=["gene_expr_correctness"], config=config,
+            tuner_num_samples=8, cluster_label="subclass_label",
+            search="adaptive+halving", halving_eta=2, random_state=3,
+            population_batch_size=4,
+        )
+    finally:
+        tuning._PopulationSetup.fit_halving = orig
+    assert len(returned) >= 2  # one per bracket
+    assert all(fn is returned[0] for fn in returned)
+
+
 def test_adaptive_halving_concentrates_later_brackets(tuner_adatas):
     """The composition's mechanism: metrics fed back from pruned brackets
     steer later brackets' samples toward the best-observed region, so the
