@@ -140,9 +140,15 @@ def run(seed: int, n_trials: int) -> int:
                 ref_losses = np.array([float(x)
                                        for x in ref_hist["total_loss"]])
             our_losses = np.array(hist["total_loss"])
-            rel = np.abs(our_losses - ref_losses) / np.maximum(
-                np.abs(ref_losses), 1e-9
-            )
+            # the reference's CONSTRAINED history stores str(tensor) (ref
+            # mapping_optimizer.py:630) — torch reprs carry 4 decimal
+            # places, so the parsed trajectory is quantized to ±5e-5
+            # absolute; grant that allowance before the relative checks
+            # (a ~1e-3 loss otherwise shows a spurious ~3% "error")
+            quant = 5.1e-5 if constrained else 0.0
+            rel = np.maximum(
+                np.abs(our_losses - ref_losses) - quant, 0.0
+            ) / np.maximum(np.abs(ref_losses), 1e-9)
             assert rel[0] < 5e-4, f"epoch-0 loss rel {rel[0]:.2e}"
             assert np.median(rel) < 8e-3, f"median rel {np.median(rel):.2e}"
             assert rel[-5:].max() < 2e-2, f"tail rel {rel[-5:].max():.2e}"
