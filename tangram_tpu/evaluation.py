@@ -220,9 +220,12 @@ def cross_val(
     one device round-trip. ``batched=False`` selects the reference-style
     sequential loop. ``fold_batch_size='auto'`` sizes the chunk to the
     device memory budget (each batched fold carries its own M + Adam
-    moments). ``mesh`` shards the fold axis over devices — Tangram's natural
-    data parallelism (each chip trains its own folds; no collectives beyond
-    the initial broadcast).
+    moments). ``mesh`` spreads folds over the mesh axis named ``"fold"`` (or
+    its first axis) — Tangram's natural data parallelism — and any REMAINING
+    mesh axes tensor-shard each fold's cell dimension (hierarchical DP×TP:
+    e.g. a ``("fold", "cell")`` mesh trains fold groups in parallel while
+    each group's chips split the logits and Adam moments by cells), so
+    per-fold problems larger than one chip's HBM still cross-validate.
     """
     kwargs = dict(
         cluster_label=cluster_label,
@@ -394,7 +397,10 @@ def _cross_val_batched(
     target_count=None,
 ):
     """All CV folds as one vmapped training batch (TPU-native path),
-    optionally sharded over a mesh's leading axis (fold data parallelism)."""
+    optionally sharded over a mesh: folds ride the axis named ``"fold"`` (or
+    the first axis), and any remaining axes tensor-shard each fold's cells —
+    hierarchical DP×TP, so per-fold problems beyond one chip's HBM still
+    batch across the pod."""
     import jax
     import jax.numpy as jnp
 
@@ -452,20 +458,37 @@ def _cross_val_batched(
         test_idx_lists.append([gene_index[g] for g in test_genes])
 
     n_cells, n_spots = S.shape[0], G.shape[0]
+
+    # Mesh layout: folds ride the axis named "fold" (or the mesh's first
+    # axis); any REMAINING axes tensor-shard each fold's cells — hierarchical
+    # DP×TP, the pod recipe (data parallelism over the slower axis, tensor
+    # parallelism within it), so per-fold problems larger than one chip's
+    # HBM still cross-validate. Cells must divide evenly over the cell
+    # shards; otherwise TP degrades to replication (DP still applies).
+    fold_axis = None
+    n_cell_shards = 1
+    if mesh is not None:
+        fold_axis = "fold" if "fold" in mesh.axis_names else mesh.axis_names[0]
+        cell_axes = tuple(a for a in mesh.axis_names if a != fold_axis)
+        shards = int(np.prod([mesh.shape[a] for a in cell_axes])) if cell_axes else 1
+        if cell_axes and n_cells % shards == 0:
+            n_cell_shards = shards
+
     if fold_batch_size == "auto":
         # each batched fold holds its own (cells × spots) logits + two Adam
         # moment buffers in f32; budget ~half the device's reported capacity
         # for them (falls back to 8 GB TPU / 2 GB CPU when the backend
-        # reports no memory stats)
+        # reports no memory stats). Tensor-sharding the cell axis divides
+        # the per-device share of each fold by the cell-shard count.
         from .utils import device_memory_budget
 
-        per_fold_bytes = n_cells * n_spots * 12
+        per_fold_bytes = n_cells * n_spots * 12 // n_cell_shards
         budget = device_memory_budget()
         fold_batch_size = int(
             np.clip(budget // max(per_fold_bytes, 1), 1, 256)
         )
         if mesh is not None:
-            n_dev = mesh.devices.size
+            n_dev = int(mesh.shape[fold_axis])
             fold_batch_size = max(n_dev, fold_batch_size // n_dev * n_dev)
     if constrained:
         from .models.mapper import init_constrained_logits
@@ -522,12 +545,31 @@ def _cross_val_batched(
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
-        fold_sharding = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+        fold_sharding = NamedSharding(mesh, PartitionSpec(fold_axis))
+        fold_axis_size = int(mesh.shape[fold_axis])
+        if n_cell_shards > 1:
+            # tensor-shard the unbatched per-fold operands by cells over the
+            # non-fold axes; GSPMD propagates the layout through the vmapped
+            # scan, so each fold group of devices holds 1/n_cell_shards of
+            # its fold's logits and Adam moments
+            cell_spec = cell_axes if len(cell_axes) > 1 else cell_axes[0]
+            rows = NamedSharding(mesh, PartitionSpec(cell_spec, None))
+            vec = NamedSharding(mesh, PartitionSpec(cell_spec))
+            S_dev = jax.device_put(S_dev, rows)
+            if dsrc_dev is not None:
+                dsrc_dev = jax.device_put(dsrc_dev, vec)
+            if constrained:
+                params0 = (
+                    jax.device_put(jnp.asarray(params0[0]), rows),
+                    jax.device_put(jnp.asarray(params0[1]), vec),
+                )
+            else:
+                params0 = jax.device_put(jnp.asarray(params0), rows)
 
     for start in range(0, n_folds, int(fold_batch_size)):
         stop = min(start + int(fold_batch_size), n_folds)
         chunk = jnp.asarray(masks[start:stop])
-        if mesh is not None and (stop - start) % mesh.devices.size == 0:
+        if mesh is not None and (stop - start) % fold_axis_size == 0:
             chunk = jax.device_put(chunk, fold_sharding)
         scores, tr, G_pred = run_chunk(chunk)
         all_scores[start:stop] = scores

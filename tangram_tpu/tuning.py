@@ -693,20 +693,34 @@ def _run_population(
     if active is None:
         active = _active_lambdas(configs, setup.lam_keys)
 
+    # Mesh layout mirrors _cross_val_batched: trials ride the axis named
+    # "trial" (or the mesh's first axis); any REMAINING axes tensor-shard
+    # each trial's cell dimension (hierarchical DP×TP — trial groups in
+    # parallel, each group's chips splitting the per-repeat logits and Adam
+    # moments by cells).
+    if mesh is not None:
+        import jax as _jax
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        trial_axis = "trial" if "trial" in mesh.axis_names else mesh.axis_names[0]
+        trial_axis_size = int(mesh.shape[trial_axis])
+        config_sharding = NamedSharding(mesh, PartitionSpec(trial_axis))
+        cell_axes = tuple(a for a in mesh.axis_names if a != trial_axis)
+        shards = int(np.prod([mesh.shape[a] for a in cell_axes])) if cell_axes else 1
+        if cell_axes and M0s.shape[1] % shards == 0:
+            spec = cell_axes if len(cell_axes) > 1 else cell_axes[0]
+            M0s = _jax.device_put(
+                M0s, NamedSharding(mesh, PartitionSpec(None, spec, None))
+            )
+
     for num_epochs, idxs in by_epochs.items():
         fit_batched = setup.fit_batched(num_epochs, active)
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            config_sharding = NamedSharding(
-                mesh, PartitionSpec(mesh.axis_names[0])
-            )
 
         for start in range(0, len(idxs), population_batch_size):
             chunk = idxs[start : start + population_batch_size]
             lam_mat = setup.lam_matrix(configs, chunk)
             lr_peaks, lr_ends = setup.lr_vectors(configs, chunk)
-            if mesh is not None and len(chunk) % mesh.devices.size == 0:
+            if mesh is not None and len(chunk) % trial_axis_size == 0:
                 # trial data parallelism: each device trains its own configs
                 # (the TPU-native replacement for Ray's process-per-trial)
                 lam_mat = jax.device_put(lam_mat, config_sharding)

@@ -101,6 +101,30 @@ def test_cross_val_fold_mesh(cv_adatas):
     assert sharded["avg_train_score"] == pytest.approx(base["avg_train_score"], abs=1e-5)
 
 
+@pytest.mark.parametrize("mode,extra", [
+    ("cells", {}),
+    ("constrained", {"target_count": 15, "density_prior": "uniform"}),
+])
+def test_cross_val_hierarchical_mesh(cv_adatas, mode, extra):
+    """Hierarchical DP×TP: on a 2-D ("fold", "cell") mesh, folds spread over
+    the fold axis while each fold's logits/Adam moments are tensor-sharded by
+    cells (30 cells over 3 shards) — and the result must still reproduce the
+    single-device batched run exactly."""
+    import jax
+    from jax.sharding import Mesh
+
+    ad_sc, ad_sp = cv_adatas
+    mesh = Mesh(
+        np.asarray(jax.devices()[:6]).reshape(2, 3), axis_names=("fold", "cell")
+    )
+    kwargs = dict(mode=mode, cv_mode="10fold", num_epochs=30, random_state=7,
+                  verbose=False, fold_batch_size=8, **extra)
+    base = tg.cross_val(ad_sc, ad_sp, **kwargs)
+    sharded = tg.cross_val(ad_sc, ad_sp, mesh=mesh, **kwargs)
+    assert sharded["avg_test_score"] == pytest.approx(base["avg_test_score"], abs=1e-5)
+    assert sharded["avg_train_score"] == pytest.approx(base["avg_train_score"], abs=1e-5)
+
+
 def test_fold_batch_auto_sizing(cv_adatas, monkeypatch):
     """'auto' fold batching fits the device budget: a (simulated) large
     problem gets batch 1, a small one the 256 cap, and the result matches an

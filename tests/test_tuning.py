@@ -392,6 +392,34 @@ def test_tuner_trial_mesh(tuner_adatas):
     )
 
 
+def test_tuner_hierarchical_mesh(tuner_adatas):
+    """Hierarchical DP×TP: on a 2-D ("trial", "cell") mesh, trial groups run
+    in parallel while each group's chips tensor-shard the per-repeat logits
+    by cells (30 cells over 3 shards) — scores must still match the
+    single-device population search."""
+    import jax
+    from jax.sharding import Mesh
+
+    ad_sc, ad_sp = tuner_adatas
+    space = {"lambda_g1": 1.0, "lambda_d": tuning.uniform(0.1, 1.0),
+             "num_epochs": 25}
+    mesh = Mesh(
+        np.asarray(jax.devices()[:6]).reshape(2, 3), axis_names=("trial", "cell")
+    )
+    kwargs = dict(
+        metric=["gene_expr_correctness"], config=space, tuner_num_samples=4,
+        cluster_label="subclass_label", density_prior="uniform",
+        random_state=11, population_batch_size=4,
+    )
+    base = tg.mapping_hyperparameter_tuning(ad_sc, ad_sp, **kwargs)
+    sharded = tg.mapping_hyperparameter_tuning(ad_sc, ad_sp, mesh=mesh, **kwargs)
+    np.testing.assert_allclose(
+        base.get_results().get_dataframe()["gene_expr_correctness"].to_numpy(),
+        sharded.get_results().get_dataframe()["gene_expr_correctness"].to_numpy(),
+        atol=2e-3,
+    )
+
+
 def test_tuner_searches_lr_schedules(tuner_adatas):
     """lr_peak/lr_end configs (extension: searchable cosine schedule) run
     through the population search; peak==end reproduces the constant-lr
