@@ -117,6 +117,30 @@ def run(seed: int, n_trials: int) -> int:
             df2 = tg.mapping_hyperparameter_tuning(
                 ad_sc, ad_sp, **kw).get_results().get_dataframe()
             pd.testing.assert_frame_equal(df1, df2)
+            if search in ("sobol", "adaptive") and rng.random() < 0.5:
+                # mesh trial-DP (randomly hierarchical: a 2-D mesh also
+                # tensor-shards each trial's cells when divisible) must
+                # reproduce the unsharded metrics to GSPMD-noise level
+                from jax.sharding import Mesh
+
+                if rng.random() < 0.5:
+                    mesh = Mesh(
+                        np.asarray(jax.devices()[:4]), ("trial",)
+                    )
+                else:
+                    mesh = Mesh(
+                        np.asarray(jax.devices()[:6]).reshape(2, 3),
+                        ("trial", "cell"),
+                    )
+                np.random.seed(seed_t % (2**31))
+                dfm = tg.mapping_hyperparameter_tuning(
+                    ad_sc, ad_sp, mesh=mesh, **kw
+                ).get_results().get_dataframe()
+                for m in tuning.METRIC_KEYS:
+                    np.testing.assert_allclose(
+                        df1[m].to_numpy(), dfm[m].to_numpy(), atol=5e-3,
+                        err_msg=f"mesh {mesh.axis_names} {m}",
+                    )
             if "halving" in search:
                 # restart-mode rungs must reproduce carried-state results
                 import tangram_tpu.utils as tpu_utils

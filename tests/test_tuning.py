@@ -131,7 +131,7 @@ def test_tuner_loss_matches_reference_terms(rng):
         spatial_weights=W, **lam,
     )
     ref.M = torch.tensor(M, dtype=torch.float32, requires_grad=True)
-    ref_total = float(ref._loss_fn(verbose=False)[0])
+    ref_total = float(ref._loss_fn(verbose=False)[0].detach())
 
     getis_ref = (W @ G) / G.sum(axis=0)
     arrays = tuple(
