@@ -211,6 +211,7 @@ def cross_val(
     batched="auto",
     fold_batch_size="auto",
     mesh=None,
+    resume_path=None,
 ):
     """Gene-holdout cross-validation (ref utils.py:503-668).
 
@@ -226,6 +227,12 @@ def cross_val(
     e.g. a ``("fold", "cell")`` mesh trains fold groups in parallel while
     each group's chips split the logits and Adam moments by cells), so
     per-fold problems larger than one chip's HBM still cross-validate.
+    ``resume_path`` journals every completed fold chunk to a JSONL file (a
+    ``<path>.preds/`` sidecar holds per-fold predictions when
+    ``return_gene_pred``): a killed LOO sweep resumes where it stopped,
+    recomputing at most one in-flight chunk — assuming the same arguments
+    (mode / cv fold split / epochs / seed are validated; loss weights and
+    the schedule are the caller's responsibility). Batched path only.
     """
     kwargs = dict(
         cluster_label=cluster_label,
@@ -251,7 +258,12 @@ def cross_val(
     if batched:
         return _cross_val_batched(
             adata_sc, adata_sp, fold_batch_size=fold_batch_size, mesh=mesh,
-            **kwargs
+            resume_path=resume_path, **kwargs
+        )
+    if resume_path is not None:
+        raise ValueError(
+            "resume_path requires the batched cross_val path "
+            "(batched=True or a batched-capable mode)"
         )
     return _cross_val_loop(adata_sc, adata_sp, device=device, **kwargs)
 
@@ -392,6 +404,7 @@ def _cross_val_batched(
     verbose,
     fold_batch_size,
     mesh=None,
+    resume_path=None,
     lambda_count=1,
     lambda_f_reg=1,
     target_count=None,
@@ -542,6 +555,29 @@ def _cross_val_batched(
     train_scores = np.zeros(n_folds)
     pred_cols = {} if return_gene_pred else None
 
+    # crash tolerance: journal each completed fold chunk (scores as JSONL
+    # rows, per-fold predictions as .npy sidecars) so an interrupted LOO
+    # sweep resumes at the first incomplete chunk
+    journal, done_folds, pred_store = None, {}, None
+    if resume_path is not None:
+        import os
+
+        from .utils import _SweepJournal
+
+        journal = _SweepJournal(
+            resume_path,
+            meta=dict(
+                workload="cross_val", mode=mode, cv_mode=cv_mode,
+                num_epochs=int(num_epochs), random_state=random_state,
+                n_folds=n_folds, n_genes=len(training_genes),
+                return_gene_pred=bool(return_gene_pred),
+            ),
+        )
+        done_folds = {int(rec["fold"]): rec for rec in journal.load()}
+        if return_gene_pred:
+            pred_store = resume_path + ".preds"
+            os.makedirs(pred_store, exist_ok=True)
+
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
@@ -568,6 +604,22 @@ def _cross_val_batched(
 
     for start in range(0, n_folds, int(fold_batch_size)):
         stop = min(start + int(fold_batch_size), n_folds)
+        if journal is not None and all(
+            f in done_folds for f in range(start, stop)
+        ):
+            import os
+
+            for f in range(start, stop):
+                rec = done_folds[f]
+                all_scores[f] = np.asarray(rec["gene_scores"], np.float64)
+                train_scores[f] = float(rec["train_score"])
+                if return_gene_pred:
+                    arr = np.load(os.path.join(pred_store, f"fold{f}.npy"))
+                    for k, tg in enumerate(test_idx_lists[f]):
+                        pred_cols[tg] = arr[k]
+            if verbose:
+                print(f"cv folds {start}-{stop - 1} resumed from journal")
+            continue
         chunk = jnp.asarray(masks[start:stop])
         if mesh is not None and (stop - start) % fold_axis_size == 0:
             chunk = jax.device_put(chunk, fold_sharding)
@@ -578,6 +630,25 @@ def _cross_val_batched(
             for f in range(start, stop):
                 for tg in test_idx_lists[f]:
                     pred_cols[tg] = G_pred[f - start, :, tg]
+        if journal is not None:
+            import os
+
+            if return_gene_pred:
+                # predictions first: the journal line is the commit point
+                for f in range(start, stop):
+                    np.save(
+                        os.path.join(pred_store, f"fold{f}.npy"),
+                        np.stack(
+                            [G_pred[f - start, :, tg]
+                             for tg in test_idx_lists[f]]
+                        ),
+                    )
+            journal.append([
+                {"fold": f,
+                 "gene_scores": [float(x) for x in all_scores[f]],
+                 "train_score": float(train_scores[f])}
+                for f in range(start, stop)
+            ])
         if verbose:
             print(f"cv folds {start}-{stop - 1} done")
 

@@ -28,7 +28,7 @@ import numpy as np
 import pandas as pd
 
 from . import spatial as sw
-from .utils import one_hot_encoding
+from .utils import _SweepJournal, one_hot_encoding
 
 __all__ = [
     "uniform",
@@ -983,6 +983,7 @@ def mapping_hyperparameter_tuning(
     mesh=None,
     search: str = "sobol",
     halving_eta: int = 3,
+    resume_path: Optional[str] = None,
 ) -> TunerResult:
     """Tune mapping hyperparameters (reference ``:141-272``).
 
@@ -1022,6 +1023,19 @@ def mapping_hyperparameter_tuning(
       eliminations) feed the TPE model for the next bracket. Same fixed
       ``num_epochs`` requirement and ``trained_epochs`` column as
       ``"halving"``.
+
+    ``resume_path`` makes the sweep crash-tolerant (the elastic-recovery
+    role Ray's trial fault tolerance / ``Tuner.restore`` plays for the
+    reference): every completed population batch / ask-tell round is
+    journaled to the file, and re-running with the same arguments skips the
+    recorded trials (Sobol) or re-feeds them to the TPE model (adaptive
+    modes) and completes only the remainder — a killed sweep loses at most
+    one in-flight batch. Plain ``"halving"`` journals only a completed
+    sweep (its rung state is global, so a partial sweep restarts). The file
+    must belong to the same sweep (search/space/metric/budget/seed —
+    validated); note run 0's mapper init continues the ambient numpy stream
+    (reference parity), so bit-identical resumed metrics additionally need
+    the same ambient seeding the original call had.
 
     Ray is not required for any mode.
     """
@@ -1132,6 +1146,23 @@ def mapping_hyperparameter_tuning(
         active=_space_active_lambdas(domains, setup.lam_keys),
     )
 
+    journal = stored_trials = None
+    if resume_path is not None:
+        journal = _SweepJournal(
+            resume_path,
+            meta=dict(
+                search=search, metric=list(metric), keys=sorted(domains),
+                tuner_num_samples=int(tuner_num_samples),
+                random_state=random_state, halving_eta=int(halving_eta),
+            ),
+        )
+        stored_trials = journal.load()
+        if verbose and stored_trials:
+            logging.info(
+                "tuner: resuming %d recorded trials from %s",
+                len(stored_trials), resume_path,
+            )
+
     def from_unit_rows(unit_rows):
         return [
             {k: dom.from_unit(u) for (k, dom), u in zip(domains.items(), row)}
@@ -1168,12 +1199,30 @@ def mapping_hyperparameter_tuning(
             n_startup=min(16, max(4, tuner_num_samples // 4)),
         )
         configs, frames = [], []
+        if stored_trials:
+            # resume: re-feed the journaled observations to the TPE model
+            # (their metrics are already computed — only the remainder runs)
+            units = np.asarray(
+                [t["unit"] for t in stored_trials], dtype=np.float64
+            )
+            frame0 = pd.DataFrame([t["metrics"] for t in stored_trials])
+            sampler.tell(units, frame0[list(metric)].to_numpy())
+            configs.extend(t["config"] for t in stored_trials)
+            frames.append(frame0)
         while len(configs) < tuner_num_samples:
             ask_n = min(batch, tuner_num_samples - len(configs))
             unit_rows = sampler.ask(ask_n)
             round_configs = from_unit_rows(unit_rows)
             frame = runner(round_configs)
             sampler.tell(unit_rows, frame[list(metric)].to_numpy())
+            if journal is not None:
+                recs = frame.to_dict("records")
+                journal.append([
+                    {"i": len(configs) + k,
+                     "unit": [float(u) for u in unit_rows[k]],
+                     "config": round_configs[k], "metrics": recs[k]}
+                    for k in range(len(round_configs))
+                ])
             configs.extend(round_configs)
             frames.append(frame)
             if verbose:
@@ -1181,7 +1230,11 @@ def mapping_hyperparameter_tuning(
                     "%s tuner: %d/%d trials", label, len(configs),
                     tuner_num_samples,
                 )
-        return configs, pd.concat(frames, ignore_index=True)
+        df = pd.concat(frames, ignore_index=True)
+        # an over-full journal (budget lowered between runs is rejected by
+        # the meta check; this guards same-meta files with extra lines)
+        return (configs[:tuner_num_samples],
+                df.iloc[:tuner_num_samples].reset_index(drop=True))
 
     if search == "adaptive" and domains:
         configs, df = tpe_ask_tell_rounds(
@@ -1207,10 +1260,26 @@ def mapping_hyperparameter_tuning(
         if search == "halving":
             # batched successive halving: Sobol-sample the population, then
             # reallocate the epoch budget to the metric-best survivors
-            configs = from_unit_rows(sobol_unit_rows(tuner_num_samples))
-            df = _run_halving(
-                configs, list(metric), setup, int(num_epochs), **halving_kw,
-            )
+            unit_all = sobol_unit_rows(tuner_num_samples)
+            configs = from_unit_rows(unit_all)
+            if stored_trials and len(stored_trials) >= tuner_num_samples:
+                # rung state is global, so only a COMPLETED sweep is
+                # journaled/resumable — return it verbatim
+                stored = stored_trials[:tuner_num_samples]
+                configs = [t["config"] for t in stored]
+                df = pd.DataFrame([t["metrics"] for t in stored])
+            else:
+                df = _run_halving(
+                    configs, list(metric), setup, int(num_epochs),
+                    **halving_kw,
+                )
+                if journal is not None:
+                    recs = df.to_dict("records")
+                    journal.append([
+                        {"i": i, "unit": [float(u) for u in unit_all[i]],
+                         "config": configs[i], "metrics": recs[i]}
+                        for i in range(len(configs))
+                    ])
         else:
             # BOHB-style composition (the reference's Ray stack composes
             # OptunaSearch with a pruning scheduler the same way): TPE asks
@@ -1229,8 +1298,32 @@ def mapping_hyperparameter_tuning(
             )
     else:
         # scrambled Sobol over the search space, one population
-        configs = from_unit_rows(sobol_unit_rows(tuner_num_samples))
-        df = _run_population(configs=configs, **population_kwargs)
+        unit_all = sobol_unit_rows(tuner_num_samples)
+        configs = from_unit_rows(unit_all)
+        if journal is None:
+            df = _run_population(configs=configs, **population_kwargs)
+        else:
+            # resume: trials are independent under Sobol, so journaled
+            # indices are skipped and only the remainder runs (in
+            # population_batch_size chunks, each flushed on completion)
+            done = {
+                int(t["i"]): t["metrics"]
+                for t in stored_trials if int(t["i"]) < tuner_num_samples
+            }
+            pending = [i for i in range(tuner_num_samples) if i not in done]
+            for start in range(0, len(pending), int(population_batch_size)):
+                chunk = pending[start:start + int(population_batch_size)]
+                frame = _run_population(
+                    configs=[configs[i] for i in chunk], **population_kwargs
+                )
+                recs = frame.to_dict("records")
+                journal.append([
+                    {"i": i, "unit": [float(u) for u in unit_all[i]],
+                     "config": configs[i], "metrics": rec}
+                    for i, rec in zip(chunk, recs)
+                ])
+                done.update(zip(chunk, recs))
+            df = pd.DataFrame([done[i] for i in range(tuner_num_samples)])
 
     for k in domains:
         df[f"config/{k}"] = [cfg[k] for cfg in configs]

@@ -55,6 +55,64 @@ __all__ = [
 ]
 
 
+def _jsonable(v):
+    """numpy scalars → native Python for json round-trips."""
+    if isinstance(v, np.generic):
+        return v.item()
+    return v
+
+
+class _SweepJournal:
+    """Crash-tolerant JSONL record of a multi-unit workload sweep — the
+    elastic-recovery role Ray Tune's trial fault tolerance / ``Tuner.restore``
+    plays in the reference's stack. One meta line, then one line per
+    completed unit (a tuner trial or a CV fold), flushed batch-by-batch so a
+    killed run loses at most one in-flight batch. Used by
+    ``mapping_hyperparameter_tuning(resume_path=...)`` and
+    ``cross_val(resume_path=...)``."""
+
+    def __init__(self, path, meta: dict):
+        self.path = path
+        self.meta = {k: _jsonable(v) for k, v in meta.items()}
+
+    def load(self) -> list:
+        """Stored records, in completion order. Raises if the file belongs
+        to a different sweep (meta mismatch) — resuming across sweeps would
+        mix incomparable results."""
+        import json
+        import os
+
+        if not os.path.exists(self.path):
+            with open(self.path, "w") as f:
+                f.write(json.dumps({"kind": "meta", **self.meta}) + "\n")
+            return []
+        records = []
+        with open(self.path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                if rec.get("kind") == "meta":
+                    stored = {k: rec.get(k) for k in self.meta}
+                    if stored != self.meta:
+                        raise ValueError(
+                            f"resume_path {self.path!r} records a different "
+                            f"sweep: {stored} != {self.meta}"
+                        )
+                else:
+                    records.append(rec)
+        return records
+
+    def append(self, rows: list) -> None:
+        import json
+
+        with open(self.path, "a") as f:
+            for row in rows:
+                f.write(json.dumps(row, default=_jsonable) + "\n")
+            f.flush()
+
+
 def device_memory_budget(device=None, fraction=0.5):
     """Bytes of device memory a batched workload may claim.
 

@@ -125,6 +125,45 @@ def test_cross_val_hierarchical_mesh(cv_adatas, mode, extra):
     assert sharded["avg_train_score"] == pytest.approx(base["avg_train_score"], abs=1e-5)
 
 
+def test_cross_val_resume(cv_adatas, tmp_path):
+    """resume_path journals each completed fold chunk: a killed LOO sweep
+    resumes at the first incomplete chunk and reproduces the uninterrupted
+    result exactly (same chunk composition → same numerics), including the
+    loo gene predictions restored from the .preds sidecar."""
+    ad_sc, ad_sp = cv_adatas
+    kwargs = dict(mode="cells", cv_mode="loo", num_epochs=15, random_state=3,
+                  verbose=False, fold_batch_size=4, return_gene_pred=True)
+    base, base_ge, base_df = tg.cross_val(ad_sc, ad_sp, **kwargs)
+
+    path = str(tmp_path / "cv.jsonl")
+    full, full_ge, _ = tg.cross_val(ad_sc, ad_sp, resume_path=path, **kwargs)
+    assert full == base
+    np.testing.assert_array_equal(np.asarray(full_ge.X), np.asarray(base_ge.X))
+
+    # crash after the first chunk: keep meta + 4 fold lines
+    lines = open(path).read().splitlines()
+    with open(path, "w") as f:
+        f.write("\n".join(lines[:5]) + "\n")
+    resumed, res_ge, res_df = tg.cross_val(ad_sc, ad_sp, resume_path=path,
+                                           **kwargs)
+    assert resumed == base
+    np.testing.assert_array_equal(np.asarray(res_ge.X), np.asarray(base_ge.X))
+    pd.testing.assert_frame_equal(res_df, base_df)
+
+    # completed journal: everything restored, nothing retrained
+    again, again_ge, _ = tg.cross_val(ad_sc, ad_sp, resume_path=path, **kwargs)
+    assert again == base
+    np.testing.assert_array_equal(np.asarray(again_ge.X), np.asarray(base_ge.X))
+
+    # journals from different sweep settings are rejected, as is the
+    # (reference-style) loop path
+    with pytest.raises(ValueError, match="different sweep"):
+        tg.cross_val(ad_sc, ad_sp, resume_path=path,
+                     **{**kwargs, "random_state": 4})
+    with pytest.raises(ValueError, match="batched"):
+        tg.cross_val(ad_sc, ad_sp, resume_path=path, batched=False, **kwargs)
+
+
 def test_fold_batch_auto_sizing(cv_adatas, monkeypatch):
     """'auto' fold batching fits the device budget: a (simulated) large
     problem gets batch 1, a small one the 256 cap, and the result matches an

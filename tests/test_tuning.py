@@ -392,6 +392,101 @@ def test_tuner_trial_mesh(tuner_adatas):
     )
 
 
+def test_tuner_resume_sobol(tuner_adatas, tmp_path):
+    """resume_path journals every completed batch; a crashed Sobol sweep
+    resumes by skipping the recorded trials, and the resumed dataframe
+    matches an uninterrupted run."""
+    ad_sc, ad_sp = tuner_adatas
+    space = {"learning_rate": tuning.loguniform(0.05, 0.3),
+             "lambda_d": tuning.uniform(0.1, 1.0), "num_epochs": 10}
+    kw = dict(metric=["gene_expr_correctness"], config=space,
+              tuner_num_samples=5, cluster_label="subclass_label",
+              density_prior="uniform", random_state=4,
+              population_batch_size=2)
+    np.random.seed(99)
+    base = tg.mapping_hyperparameter_tuning(
+        ad_sc, ad_sp, **kw).get_results().get_dataframe()
+
+    path = str(tmp_path / "sweep.jsonl")
+    np.random.seed(99)
+    full = tg.mapping_hyperparameter_tuning(
+        ad_sc, ad_sp, resume_path=path, **kw).get_results().get_dataframe()
+    pd.testing.assert_frame_equal(base, full)
+
+    # simulate a crash after the first batch: keep meta + 2 trial lines
+    lines = open(path).read().splitlines()
+    with open(path, "w") as f:
+        f.write("\n".join(lines[:3]) + "\n")
+    np.random.seed(99)
+    resumed = tg.mapping_hyperparameter_tuning(
+        ad_sc, ad_sp, resume_path=path, **kw).get_results().get_dataframe()
+    # journaled rows are reused verbatim; recomputed trials may land in a
+    # different vmap batch composition, so value-level (not bitwise) match
+    pd.testing.assert_frame_equal(base, resumed, rtol=1e-5, atol=1e-6)
+
+    # a completed journal short-circuits: rows come from the file even
+    # under a different ambient numpy stream
+    np.random.seed(0)
+    again = tg.mapping_hyperparameter_tuning(
+        ad_sc, ad_sp, resume_path=path, **kw).get_results().get_dataframe()
+    pd.testing.assert_frame_equal(resumed, again)
+
+    # a journal from different sweep settings is rejected
+    with pytest.raises(ValueError, match="different sweep"):
+        tg.mapping_hyperparameter_tuning(
+            ad_sc, ad_sp, resume_path=path, **{**kw, "random_state": 5})
+
+
+def test_tuner_resume_adaptive(tuner_adatas, tmp_path):
+    """Adaptive resume re-feeds journaled trials to the TPE model and runs
+    only the remainder; journaled rows appear verbatim in the result."""
+    ad_sc, ad_sp = tuner_adatas
+    space = {"learning_rate": tuning.loguniform(0.05, 0.3), "num_epochs": 10}
+    kw = dict(metric=["gene_expr_correctness"], config=space,
+              tuner_num_samples=6, cluster_label="subclass_label",
+              density_prior="uniform", random_state=4,
+              population_batch_size=2, search="adaptive")
+    path = str(tmp_path / "sweep.jsonl")
+    np.random.seed(99)
+    full = tg.mapping_hyperparameter_tuning(
+        ad_sc, ad_sp, resume_path=path, **kw).get_results().get_dataframe()
+    assert len(full) == 6
+
+    lines = open(path).read().splitlines()
+    with open(path, "w") as f:  # crash after round 1 (meta + 2 trials)
+        f.write("\n".join(lines[:3]) + "\n")
+    np.random.seed(99)
+    resumed = tg.mapping_hyperparameter_tuning(
+        ad_sc, ad_sp, resume_path=path, **kw).get_results().get_dataframe()
+    assert len(resumed) == 6
+    assert np.isfinite(
+        resumed[tuning.METRIC_KEYS].to_numpy()).all()
+    pd.testing.assert_frame_equal(
+        full.iloc[:2].reset_index(drop=True),
+        resumed.iloc[:2].reset_index(drop=True),
+    )
+
+
+def test_tuner_resume_halving_completed(tuner_adatas, tmp_path):
+    """Plain halving journals a completed sweep; rerunning with the same
+    resume_path returns it without retraining."""
+    ad_sc, ad_sp = tuner_adatas
+    space = {"learning_rate": tuning.loguniform(0.05, 0.3),
+             "num_epochs": 16}
+    kw = dict(metric=["gene_expr_correctness"], config=space,
+              tuner_num_samples=4, cluster_label="subclass_label",
+              density_prior="uniform", random_state=4,
+              population_batch_size=2, search="halving")
+    path = str(tmp_path / "sweep.jsonl")
+    np.random.seed(7)
+    full = tg.mapping_hyperparameter_tuning(
+        ad_sc, ad_sp, resume_path=path, **kw).get_results().get_dataframe()
+    np.random.seed(123)
+    again = tg.mapping_hyperparameter_tuning(
+        ad_sc, ad_sp, resume_path=path, **kw).get_results().get_dataframe()
+    pd.testing.assert_frame_equal(full, again)
+
+
 def test_tuner_hierarchical_mesh(tuner_adatas):
     """Hierarchical DP×TP: on a 2-D ("trial", "cell") mesh, trial groups run
     in parallel while each group's chips tensor-shard the per-repeat logits
