@@ -466,6 +466,22 @@ def _as_history_lists(history, keys, num_epochs):
     return out
 
 
+def _warn_if_diverged(training_history):
+    """Surface divergence the reference trains through silently: once the
+    total loss goes non-finite, Adam's moments are poisoned and every later
+    epoch (and the returned mapping) is garbage — warn with the first bad
+    epoch instead of handing back an unlabeled broken result. History is
+    already on host here, so the check costs one pass over a scalar list."""
+    vals = np.asarray(training_history.get("total_loss", ()), dtype=np.float64)
+    if vals.size and not np.isfinite(vals).all():
+        first = int(np.flatnonzero(~np.isfinite(vals))[0])
+        logging.warning(
+            "Training diverged: total_loss became non-finite at epoch %d of "
+            "%d — the returned mapping is unreliable; reduce learning_rate "
+            "or the regularizer weights.", first, vals.size,
+        )
+
+
 class Mapper:
     """Unconstrained mapping optimizer; API-compatible with the reference
     ``Mapper`` (``mapping_optimizer.py:14-157``)."""
@@ -733,6 +749,7 @@ class Mapper:
                     ]
                 else:
                     training_history[k] = []
+            _warn_if_diverged(training_history)
             output = np.asarray(jax.device_get(_final_softmax(self.M)))
             return output, training_history
 
@@ -778,6 +795,7 @@ class Mapper:
             else:
                 training_history[k] = []
 
+        _warn_if_diverged(training_history)
         output = np.asarray(jax.device_get(_final_softmax(self.M)))
         return output, training_history
 
@@ -873,6 +891,7 @@ class Mapper:
                 ]
             else:
                 training_history[k] = []
+        _warn_if_diverged(training_history)
         output = np.asarray(jax.device_get(_final_softmax(self.M)))
         return output, training_history
 
@@ -1042,6 +1061,7 @@ class MapperConstrained:
         training_history = _as_history_lists(
             history, CONSTRAINED_HISTORY_KEYS, num_epochs
         )
+        _warn_if_diverged(training_history)
         output = np.asarray(jax.device_get(_final_softmax(self.M)))
         F_out = np.asarray(jax.device_get(jax.nn.sigmoid(self.F)))
         return output, F_out, training_history

@@ -215,3 +215,23 @@ def test_constrained_mesh_prints_stream(problem, capsys):
                               print_each=None)
     np.testing.assert_allclose(out_c, out_1, atol=2e-5)
     np.testing.assert_allclose(F_c, F_1, atol=2e-5)
+
+
+def test_divergence_warning(problem, caplog):
+    """A run whose loss goes non-finite warns with the first bad epoch (the
+    reference trains through NaNs silently); a healthy run stays silent."""
+    import logging
+
+    S, G, d = problem
+    # an absurd L2 weight overflows f32 at the first loss evaluation
+    with caplog.at_level(logging.WARNING):
+        Mapper(S=S, G=G, d=d, lambda_d=1.0, lambda_l2=1e38,
+               random_state=0).train(num_epochs=8, learning_rate=1e3,
+                                     print_each=None)
+    assert any("diverged" in r.message for r in caplog.records)
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING):
+        Mapper(S=S, G=G, d=d, lambda_d=1.0, random_state=0).train(
+            num_epochs=8, learning_rate=0.1, print_each=None)
+    assert not any("diverged" in r.message for r in caplog.records)
