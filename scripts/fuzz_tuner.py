@@ -117,10 +117,11 @@ def run(seed: int, n_trials: int) -> int:
             df2 = tg.mapping_hyperparameter_tuning(
                 ad_sc, ad_sp, **kw).get_results().get_dataframe()
             pd.testing.assert_frame_equal(df1, df2)
-            if search in ("sobol", "adaptive") and rng.random() < 0.5:
+            if rng.random() < 0.5:
                 # mesh trial-DP (randomly hierarchical: a 2-D mesh also
                 # tensor-shards each trial's cells when divisible) must
-                # reproduce the unsharded metrics to GSPMD-noise level
+                # reproduce the unsharded run to GSPMD-noise level — for
+                # halving modes including the per-rung eliminations
                 from jax.sharding import Mesh
 
                 if rng.random() < 0.5:
@@ -136,6 +137,12 @@ def run(seed: int, n_trials: int) -> int:
                 dfm = tg.mapping_hyperparameter_tuning(
                     ad_sc, ad_sp, mesh=mesh, **kw
                 ).get_results().get_dataframe()
+                if "trained_epochs" in df1.columns:
+                    np.testing.assert_array_equal(
+                        df1["trained_epochs"].to_numpy(),
+                        dfm["trained_epochs"].to_numpy(),
+                        err_msg=f"mesh {mesh.axis_names} eliminations",
+                    )
                 for m in tuning.METRIC_KEYS:
                     np.testing.assert_allclose(
                         df1[m].to_numpy(), dfm[m].to_numpy(), atol=5e-3,

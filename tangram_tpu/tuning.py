@@ -774,6 +774,7 @@ def _run_halving(
     population_batch_size: int = 4,
     verbose: bool = False,
     active: Optional[frozenset] = None,
+    mesh=None,
 ):
     """Batched successive halving with epoch reallocation (the scheduler
     side of the reference's Ray stack — `tune.Tuner` + a pruning scheduler):
@@ -782,6 +783,13 @@ def _run_halving(
     Multi-metric selection uses nondomination rank + crowding (the same
     ``pareto_order`` the adaptive TPE split uses, so diverged NaN trials
     are eliminated first).
+
+    ``mesh`` lays each rung out like :func:`_run_population`: trials ride
+    the axis named ``"trial"`` (or the first axis) whenever the rung's
+    alive count divides it, and any remaining axes tensor-shard the cell
+    dimension. Rungs whose survivor count doesn't divide the trial axis
+    run replicated — sharding is a placement hint per rung, never a
+    correctness condition.
 
     Memory policy: carrying Adam state across rungs requires the whole
     alive population's (M, mu, nu) resident on device at once — feasible
@@ -804,8 +812,39 @@ def _run_halving(
 
     fit_batched = setup.fit_halving(num_epochs, active)
 
-    lam_mat = setup.lam_matrix(configs, range(n))
-    lr_peaks, lr_ends = setup.lr_vectors(configs, range(n))
+    # mesh layout (same rule as _run_population): trials on the "trial"/
+    # first axis, cells over the rest. put() shards a leading-trial-axis
+    # array when the current extent divides the trial axis, else leaves it
+    # replicated — correct either way, parallel when possible.
+    cell_spec = None
+    if mesh is not None:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        trial_axis = "trial" if "trial" in mesh.axis_names else mesh.axis_names[0]
+        trial_axis_size = int(mesh.shape[trial_axis])
+        cell_axes = tuple(a for a in mesh.axis_names if a != trial_axis)
+        shards = int(np.prod([mesh.shape[a] for a in cell_axes])) if cell_axes else 1
+        if cell_axes and M0s.shape[1] % shards == 0:
+            cell_spec = cell_axes if len(cell_axes) > 1 else cell_axes[0]
+            M0s = jax.device_put(
+                M0s, NamedSharding(mesh, PartitionSpec(None, cell_spec, None))
+            )
+
+    def put(a, *tail):
+        if mesh is None or a.shape[0] % trial_axis_size:
+            return a
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return jax.device_put(
+            a, NamedSharding(mesh, PartitionSpec(trial_axis, *tail))
+        )
+
+    lam_mat = put(setup.lam_matrix(configs, range(n)), None)
+    lr_peaks, lr_ends = (
+        put(v) for v in setup.lr_vectors(configs, range(n))
+    )
 
     # Carried-state mode needs the whole population's (M, mu, nu) — plus
     # the same again for the jitted call's outputs — live on device at
@@ -816,10 +855,11 @@ def _run_halving(
     carry = state_bytes <= device_memory_budget()
     chunk_size = max(1, int(population_batch_size))
     if carry:
-        M = jnp.broadcast_to(M0s[None], (n,) + M0s.shape)
-        count = jnp.zeros((n, N_REPEATS), jnp.int32)
-        mu = jnp.zeros_like(M)
-        nu = jnp.zeros_like(M)
+        M = put(jnp.broadcast_to(M0s[None], (n,) + M0s.shape),
+                None, cell_spec, None)
+        count = put(jnp.zeros((n, N_REPEATS), jnp.int32), None)
+        mu = put(jnp.zeros_like(M), None, cell_spec, None)
+        nu = put(jnp.zeros_like(M), None, cell_spec, None)
     elif verbose:
         logging.info(
             "halving: carried state (%.1f GB) exceeds the device budget; "
@@ -843,12 +883,14 @@ def _run_halving(
             alive = alive[sel]
             sel_dev = jnp.asarray(sel)
             lam_mat, lr_peaks, lr_ends = (
-                lam_mat[sel_dev], lr_peaks[sel_dev], lr_ends[sel_dev]
+                put(lam_mat[sel_dev], None), put(lr_peaks[sel_dev]),
+                put(lr_ends[sel_dev]),
             )
             if carry:
-                M, count, mu, nu = (
-                    M[sel_dev], count[sel_dev], mu[sel_dev], nu[sel_dev]
-                )
+                M = put(M[sel_dev], None, cell_spec, None)
+                count = put(count[sel_dev], None)
+                mu = put(mu[sel_dev], None, cell_spec, None)
+                nu = put(nu[sel_dev], None, cell_spec, None)
         if carry:
             steps = target - done
             M, count, mu, nu, mets = fit_batched(
@@ -861,14 +903,18 @@ def _run_halving(
         else:
             for start in range(0, len(alive), chunk_size):
                 stop = min(start + chunk_size, len(alive))
-                M_c = jnp.broadcast_to(
-                    M0s[None], (stop - start,) + M0s.shape
+                M_c = put(
+                    jnp.broadcast_to(M0s[None], (stop - start,) + M0s.shape),
+                    None, cell_spec, None,
                 )
-                count_c = jnp.zeros((stop - start, N_REPEATS), jnp.int32)
-                zeros_c = jnp.zeros_like(M_c)
+                count_c = put(
+                    jnp.zeros((stop - start, N_REPEATS), jnp.int32), None
+                )
+                zeros_c = put(jnp.zeros_like(M_c), None, cell_spec, None)
                 _, _, _, _, mets = fit_batched(
-                    lam_mat[start:stop], lr_peaks[start:stop],
-                    lr_ends[start:stop], M_c, count_c, zeros_c, zeros_c,
+                    put(lam_mat[start:stop], None),
+                    put(lr_peaks[start:stop]), put(lr_ends[start:stop]),
+                    M_c, count_c, zeros_c, zeros_c,
                     jnp.float32(0), int(target),
                 )
                 mets = {k: np.asarray(v) for k, v in mets.items()}
@@ -1012,10 +1058,9 @@ def mapping_hyperparameter_tuning(
       in ``population_batch_size``-sized chunks (classic SHA — bounded
       memory, ≤ eta/(eta−1)× extra compute). Requires a fixed
       ``num_epochs`` in ``config``; the result gains a ``trained_epochs``
-      column. ``mesh`` is ignored in this mode (survivor elimination
-      changes the trial-axis extent every rung, which defeats static trial
-      sharding — use ``"sobol"``/``"adaptive"`` for trial data
-      parallelism).
+      column. ``mesh`` applies per rung: rungs whose alive count divides
+      the trial axis run trial-sharded (cells over any remaining axes),
+      the others replicated.
     * ``"adaptive+halving"`` — the two composed, as Ray composes
       ``OptunaSearch`` with a pruning scheduler: TPE asks a bracket of
       configurations, successive halving prunes the bracket, and every
@@ -1256,6 +1301,7 @@ def mapping_hyperparameter_tuning(
             population_batch_size=population_batch_size,
             verbose=verbose,
             active=population_kwargs["active"],
+            mesh=mesh,
         )
         if search == "halving":
             # batched successive halving: Sobol-sample the population, then

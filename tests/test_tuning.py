@@ -515,6 +515,54 @@ def test_tuner_hierarchical_mesh(tuner_adatas):
     )
 
 
+def test_tuner_halving_mesh(tuner_adatas, monkeypatch):
+    """Halving over a 2-D ("trial", "cell") mesh: rungs whose alive count
+    divides the trial axis run sharded, and the eliminations + metrics must
+    reproduce the single-device run — in both carried-state and
+    restart-based rung modes."""
+    import jax
+    from jax.sharding import Mesh
+
+    ad_sc, ad_sp = tuner_adatas
+    space = {"learning_rate": tuning.loguniform(0.02, 0.5),
+             "lambda_d": tuning.uniform(0.1, 1.0), "num_epochs": 16}
+    kw = dict(metric=["gene_expr_correctness"], config=space,
+              tuner_num_samples=6, cluster_label="subclass_label",
+              density_prior="uniform", random_state=3,
+              population_batch_size=3, search="halving")
+    mesh = Mesh(
+        np.asarray(jax.devices()[:6]).reshape(2, 3), axis_names=("trial", "cell")
+    )
+    np.random.seed(11)
+    base = tg.mapping_hyperparameter_tuning(
+        ad_sc, ad_sp, **kw).get_results().get_dataframe()
+    np.random.seed(11)
+    sharded = tg.mapping_hyperparameter_tuning(
+        ad_sc, ad_sp, mesh=mesh, **kw).get_results().get_dataframe()
+    np.testing.assert_array_equal(
+        base["trained_epochs"].to_numpy(), sharded["trained_epochs"].to_numpy()
+    )
+    np.testing.assert_allclose(
+        base["gene_expr_correctness"].to_numpy(),
+        sharded["gene_expr_correctness"].to_numpy(), atol=2e-3,
+    )
+
+    # restart-based rungs (forced by a tiny memory budget) with the mesh
+    import tangram_tpu.utils as tpu_utils
+
+    monkeypatch.setattr(tpu_utils, "device_memory_budget", lambda *a, **k: 1.0)
+    np.random.seed(11)
+    restart = tg.mapping_hyperparameter_tuning(
+        ad_sc, ad_sp, mesh=mesh, **kw).get_results().get_dataframe()
+    np.testing.assert_array_equal(
+        base["trained_epochs"].to_numpy(), restart["trained_epochs"].to_numpy()
+    )
+    np.testing.assert_allclose(
+        base["gene_expr_correctness"].to_numpy(),
+        restart["gene_expr_correctness"].to_numpy(), atol=2e-3,
+    )
+
+
 def test_tuner_searches_lr_schedules(tuner_adatas):
     """lr_peak/lr_end configs (extension: searchable cosine schedule) run
     through the population search; peak==end reproduces the constant-lr
