@@ -48,7 +48,27 @@ def projected_expression(M, X, backend="auto", spot_chunk=16384):
     cost) and streams atlas-scale ones through the accelerator in spot
     chunks, so neither M nor the output ever needs to fit in device memory
     at once. ``'host'``/``'device'`` force a side.
+
+    A mesh-sharded ``M`` (what ``fit_mapping_fused_sharded`` returns — at
+    pod scale it never fits one chip, and gathering it to host first would
+    double the footprint) is projected in place under GSPMD: the matmul
+    runs where the shards live, XLA inserts the cell-axis psum, and only
+    the (spots × genes) result lands on host.
     """
+    try:
+        import jax
+
+        if (
+            isinstance(M, jax.Array)
+            and len(getattr(M.sharding, "device_set", ())) > 1
+        ):
+            import jax.numpy as jnp
+
+            X_dev = jnp.asarray(np.asarray(X, dtype=np.float32))
+            out = jax.jit(lambda m, x: m.astype(jnp.float32).T @ x)(M, X_dev)
+            return np.asarray(jax.device_get(out))
+    except ImportError:  # pragma: no cover - jax is a hard dep in practice
+        pass
     M = np.asarray(M)
     X = np.asarray(X, dtype=np.float32)
     if backend == "auto":

@@ -211,3 +211,22 @@ def test_cross_val_with_lr_schedule(cv_adatas):
         cv_l["avg_train_score"], abs=2e-3
     )
     assert 0.0 < cv_b["avg_test_score"] <= 1.0
+
+
+def test_projected_expression_sharded_M(rng):
+    """A mesh-sharded M (the fit_mapping_fused_sharded result at pod scale)
+    projects under GSPMD without a host gather, matching the host matmul."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    from tangram_tpu.evaluation import projected_expression
+
+    M = rng.normal(0, 1, (32, 24)).astype(np.float32)
+    X = rng.poisson(2.0, (32, 10)).astype(np.float32)
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2), ("cell", "spot"))
+    M_sh = jax.device_put(
+        jnp.asarray(M), NamedSharding(mesh, PartitionSpec("cell", "spot"))
+    )
+    out = projected_expression(M_sh, X)
+    np.testing.assert_allclose(out, M.T @ X, rtol=1e-5, atol=1e-5)
