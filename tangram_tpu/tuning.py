@@ -950,15 +950,19 @@ def _select_order(Y: np.ndarray) -> np.ndarray:
 
 
 class _BestResult:
-    """Duck-types ``ray.train.Result``: ``.config`` and ``.metrics``."""
+    """Duck-types ``ray.train.Result``: ``.config`` and ``.metrics``
+    (values as native Python scalars, like ray reports them)."""
 
     def __init__(self, row):
+        from .utils import _jsonable
+
         self.config = {
-            k.split("/", 1)[1]: row[k]
+            k.split("/", 1)[1]: _jsonable(row[k])
             for k in row.index if k.startswith("config/")
         }
         self.metrics = {
-            k: row[k] for k in row.index if not k.startswith("config/")
+            k: _jsonable(row[k]) for k in row.index
+            if not k.startswith("config/")
         }
 
 
