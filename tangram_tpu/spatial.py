@@ -40,24 +40,33 @@ def spatial_neighbors(
     delaunay: bool = False,
     set_diag: bool = False,
     spatial_key: str = "spatial",
+    radius=None,
+    percentile: Optional[float] = None,
+    n_rings: int = 1,
 ):
     """Compute a spot adjacency graph from ``obsm[spatial_key]`` coordinates.
 
     Writes ``obsp['spatial_connectivities']`` (binary CSR) and
     ``obsp['spatial_distances']`` (CSR), the two matrices the reference
-    pipeline reads (``spatial_weights.py:15-16``).
+    pipeline reads (``spatial_weights.py:15-16``). Parameter surface follows
+    ``squidpy.gr.spatial_neighbors`` (the reference's graph builder,
+    ``mapping_utils.py:95-100``).
 
     ``coord_type``:
 
     * ``"generic"`` — k-nearest-neighbor graph, euclidean distances.
+      ``radius`` as a float switches to a fixed-radius graph; as an
+      ``(rmin, rmax)`` pair it prunes the KNN edges to that distance
+      interval. ``percentile`` (0–100) prunes KNN edges whose distance
+      exceeds that percentile of all edge distances.
     * ``"grid"`` — Visium-style lattice adjacency: of the ``n_neighs``
       nearest candidates, only those within the first lattice ring are kept
       (cutoff between the measured grid pitch and the second ring at
       √3×pitch), so border/island spots keep their true lattice degree
-      instead of back-filling with second-ring spots. Distances are the ring
-      index (1 for every first-ring edge), matching squidpy's grid
-      semantics: on the uniform Visium lattice the standardized weights are
-      1/degree either way.
+      instead of back-filling with second-ring spots. ``n_rings`` extends
+      adjacency to the n-th lattice ring; distances are the ring index
+      (squidpy's grid semantics: on the uniform Visium lattice the
+      standardized weights are 1/degree either way).
     * ``"delaunay"`` — Delaunay triangulation adjacency.
     * ``None`` (default) — auto-select like squidpy
       (``squidpy.gr.spatial_neighbors``, called by the reference at
@@ -73,6 +82,12 @@ def spatial_neighbors(
     if coord_type is None:
         uns = getattr(adata_sp, "uns", {})
         coord_type = "grid" if "spatial" in uns else "generic"
+    if percentile is not None and coord_type != "generic":
+        raise ValueError("percentile is only valid with coord_type='generic'.")
+    if radius is not None and coord_type != "generic":
+        raise ValueError("radius is only valid with coord_type='generic'.")
+    if n_rings > 1 and coord_type != "grid":
+        raise ValueError("n_rings > 1 is only valid with coord_type='grid'.")
     coords = np.asarray(adata_sp.obsm[spatial_key], dtype=np.float64)
     n = coords.shape[0]
 
@@ -84,6 +99,18 @@ def spatial_neighbors(
         rows = np.repeat(np.arange(n), np.diff(indptr))
         cols = indices
         d = np.linalg.norm(coords[rows] - coords[cols], axis=1)
+    elif np.isscalar(radius):
+        # fixed-radius graph (squidpy: radius as a single float)
+        from sklearn.neighbors import NearestNeighbors
+
+        nn = NearestNeighbors(radius=float(radius)).fit(coords)
+        dist, idx = nn.radius_neighbors(coords)
+        counts = np.asarray([len(ix) for ix in idx])
+        rows = np.repeat(np.arange(n), counts)
+        cols = np.concatenate(idx) if len(idx) else np.zeros(0, np.int64)
+        d = np.concatenate(dist) if len(dist) else np.zeros(0)
+        keep = rows != cols  # drop self-edges
+        rows, cols, d = rows[keep], cols[keep], d[keep]
     else:
         from sklearn.neighbors import NearestNeighbors
 
@@ -112,12 +139,40 @@ def spatial_neighbors(
             keep = d <= pitch * _GRID_RING_CUTOFF
             rows, cols = rows[keep], cols[keep]
             d = np.ones(keep.sum(), dtype=np.float64)  # ring index
+        elif radius is not None:
+            # (rmin, rmax) interval pruning of the KNN edges (squidpy:
+            # radius as a tuple)
+            rmin, rmax = radius
+            keep = (d >= float(rmin)) & (d <= float(rmax))
+            rows, cols, d = rows[keep], cols[keep], d[keep]
+        elif percentile is not None:
+            keep = d <= np.percentile(d, percentile)
+            rows, cols, d = rows[keep], cols[keep], d[keep]
 
     conn = sp.csr_matrix((np.ones_like(d, dtype=np.float64), (rows, cols)), shape=(n, n))
     dists = sp.csr_matrix((d, (rows, cols)), shape=(n, n))
     conn.sum_duplicates()
     dists.sum_duplicates()
     conn.data[:] = 1.0
+
+    if coord_type == "grid" and n_rings > 1:
+        # BFS by boolean matrix powers of the 1-ring adjacency: ring r =
+        # spots first reachable in r hops; distance entries = ring index
+        # (squidpy grid semantics for n_rings)
+        one_ring = conn.copy()
+        seen = (conn + sp.eye(n, format="csr")).sign().tocsr()
+        dists = conn.copy()
+        frontier = conn
+        for r in range(2, n_rings + 1):
+            reach = (frontier @ one_ring).sign().tocsr()
+            new = (reach - reach.multiply(seen)).tocsr()
+            new.eliminate_zeros()
+            if new.nnz == 0:
+                break
+            conn = (conn + new).sign().tocsr()
+            dists = (dists + new * r).tocsr()
+            seen = (seen + new).sign().tocsr()
+            frontier = new
 
     if set_diag:
         conn = conn + sp.eye(n, format="csr")

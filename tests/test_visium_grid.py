@@ -192,3 +192,84 @@ def test_mapping_with_spatial_regularizers_on_grid_graph():
                                rtol=1e-5)
     hist = ad_map.uns["training_history"]
     assert np.isfinite(hist["main_loss"]).all()
+
+
+# --- squidpy parameter surface: radius / percentile / n_rings ---
+
+
+def test_n_rings_two_ring_hex():
+    coords = hex_lattice(9, 9)
+    ad = make_adata(coords, visium_metadata=True)
+    spatial_neighbors(ad, n_rings=2)
+    conn = ad.obsp["spatial_connectivities"]
+    dists = ad.obsp["spatial_distances"]
+    # interior spot: 6 first-ring + 12 second-ring neighbors
+    center = 4 * 9 + 4
+    assert conn[center].nnz == 18
+    row = dists[center].toarray().ravel()
+    assert (row == 1.0).sum() == 6
+    assert (row == 2.0).sum() == 12
+    # ring index, not euclidean distance
+    assert set(np.unique(dists.data)) <= {1.0, 2.0}
+
+
+def test_n_rings_one_matches_default():
+    coords = hex_lattice(6, 6)
+    ad1 = make_adata(coords, visium_metadata=True)
+    ad2 = make_adata(coords, visium_metadata=True)
+    spatial_neighbors(ad1)
+    spatial_neighbors(ad2, n_rings=1)
+    assert (ad1.obsp["spatial_connectivities"]
+            != ad2.obsp["spatial_connectivities"]).nnz == 0
+
+
+def test_radius_float_generic():
+    rng = np.random.default_rng(0)
+    coords = rng.random((60, 2)) * 10
+    ad = make_adata(coords)
+    spatial_neighbors(ad, radius=2.5, coord_type="generic")
+    dists = ad.obsp["spatial_distances"]
+    assert dists.nnz > 0
+    assert dists.data.max() <= 2.5
+    assert dists.diagonal().sum() == 0  # no self-edges
+    # symmetric by construction (fixed-radius is a symmetric relation)
+    assert (dists != dists.T).nnz == 0
+
+
+def test_radius_interval_prunes_knn():
+    rng = np.random.default_rng(1)
+    coords = rng.random((60, 2)) * 10
+    ad_all = make_adata(coords)
+    spatial_neighbors(ad_all, n_neighs=6, coord_type="generic")
+    d_all = ad_all.obsp["spatial_distances"]
+    lo, hi = 0.5, 1.5
+    ad = make_adata(coords)
+    spatial_neighbors(ad, n_neighs=6, coord_type="generic", radius=(lo, hi))
+    d = ad.obsp["spatial_distances"]
+    assert d.nnz < d_all.nnz
+    assert d.data.min() >= lo and d.data.max() <= hi
+
+
+def test_percentile_prunes_longest_edges():
+    rng = np.random.default_rng(2)
+    coords = rng.random((80, 2)) * 10
+    ad_all = make_adata(coords)
+    spatial_neighbors(ad_all, n_neighs=6, coord_type="generic")
+    ad = make_adata(coords)
+    spatial_neighbors(ad, n_neighs=6, coord_type="generic", percentile=50.0)
+    d_all = ad_all.obsp["spatial_distances"]
+    d = ad.obsp["spatial_distances"]
+    assert d.nnz <= d_all.nnz * 0.55
+    assert d.data.max() <= np.percentile(d_all.data, 50.0) + 1e-12
+
+
+def test_parameter_validation():
+    coords = hex_lattice(4, 4)
+    ad = make_adata(coords, visium_metadata=True)
+    with pytest.raises(ValueError):
+        spatial_neighbors(ad, percentile=50.0)  # grid auto-selected
+    with pytest.raises(ValueError):
+        spatial_neighbors(ad, radius=1.0)
+    ad2 = make_adata(coords)
+    with pytest.raises(ValueError):
+        spatial_neighbors(ad2, coord_type="generic", n_rings=2)
