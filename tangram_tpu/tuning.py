@@ -104,20 +104,40 @@ class choice:
 
 
 def _coerce_domain(value):
-    """Accept our dataclasses, plain constants, or ray.tune domains."""
+    """Accept our dataclasses, plain constants, ray.tune domains, or optuna
+    distributions.
+
+    The reference's tuner takes a dict of ``ray.tune`` distributions
+    (``mapping_parameter_tuning.py:14-22``); actual ray objects are accepted
+    here structurally (``Float.lower/.upper`` with a log sampler carrying
+    ``base``; ``Categorical.categories``) so a reference user's search-space
+    dict works unchanged without ray installed. Optuna's
+    ``FloatDistribution(.low/.high/.log)``, ``IntDistribution`` and
+    ``CategoricalDistribution(.choices)`` are accepted the same way."""
     if isinstance(value, (uniform, loguniform, choice)):
         return value
     if isinstance(value, (int, float)):
         fixed = float(value)
         return uniform(fixed, fixed)
     cls = type(value).__name__.lower()
-    if hasattr(value, "lower") and hasattr(value, "upper"):
+    if hasattr(value, "categories"):  # ray.tune.choice
+        return choice(tuple(value.categories))
+    if hasattr(value, "choices"):  # optuna CategoricalDistribution
+        return choice(tuple(value.choices))
+    if hasattr(value, "lower") and hasattr(value, "upper") and not isinstance(
+        value, str
+    ):
+        # ray.tune.uniform / loguniform / quniform (Float/Integer domains)
         lo, hi = float(value.lower), float(value.upper)
         if "log" in cls or getattr(getattr(value, "sampler", None), "base", None):
             return loguniform(lo, hi)
         return uniform(lo, hi)
-    if hasattr(value, "categories"):
-        return choice(tuple(value.categories))
+    if hasattr(value, "low") and hasattr(value, "high"):
+        # optuna Float/Int distributions
+        lo, hi = float(value.low), float(value.high)
+        if getattr(value, "log", False) or "log" in cls:
+            return loguniform(lo, hi)
+        return uniform(lo, hi)
     raise ValueError(f"Unsupported search-space value: {value!r}")
 
 

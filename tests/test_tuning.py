@@ -599,3 +599,77 @@ def test_tuner_searches_lr_schedules(tuner_adatas):
         t_sched["gene_expr_correctness"].to_numpy(),
         rtol=1e-6,
     )
+
+
+class _RaySampler:
+    def __init__(self, base=None):
+        if base is not None:
+            self.base = base
+
+
+class _RayFloat:
+    """Structural twin of ray.tune.sample.Float (lower/upper + sampler)."""
+
+    def __init__(self, lower, upper, log=False):
+        self.lower, self.upper = lower, upper
+        self.sampler = _RaySampler(base=10 if log else None)
+
+
+class _RayCategorical:
+    def __init__(self, categories):
+        self.categories = categories
+
+
+class _OptunaFloatDistribution:
+    def __init__(self, low, high, log=False):
+        self.low, self.high, self.log = low, high, log
+
+
+class _OptunaCategoricalDistribution:
+    def __init__(self, choices):
+        self.choices = choices
+
+
+def test_coerce_domain_ray_and_optuna_objects():
+    d = tuning._coerce_domain(_RayFloat(0.1, 0.9))
+    assert isinstance(d, tuning.uniform) and (d.low, d.high) == (0.1, 0.9)
+
+    d = tuning._coerce_domain(_RayFloat(1e-3, 1.0, log=True))
+    assert isinstance(d, tuning.loguniform)
+    assert np.isclose(d.from_unit(0.5), np.sqrt(1e-3))
+
+    d = tuning._coerce_domain(_RayCategorical([100, 500, 1000]))
+    assert isinstance(d, tuning.choice) and d.values == (100, 500, 1000)
+
+    d = tuning._coerce_domain(_OptunaFloatDistribution(0.0, 2.0))
+    assert isinstance(d, tuning.uniform) and (d.low, d.high) == (0.0, 2.0)
+
+    d = tuning._coerce_domain(_OptunaFloatDistribution(1e-2, 10.0, log=True))
+    assert isinstance(d, tuning.loguniform)
+
+    d = tuning._coerce_domain(_OptunaCategoricalDistribution(("a", "b")))
+    assert isinstance(d, tuning.choice) and d.values == ("a", "b")
+
+    with pytest.raises(ValueError):
+        tuning._coerce_domain("not-a-domain")
+
+
+def test_tuner_accepts_ray_shaped_search_space(tuner_adatas):
+    """A reference user's ray.tune-style search-space dict (actual domain
+    OBJECTS, not this library's dataclasses) drives the tuner end to end —
+    reference contract: ``mapping_parameter_tuning.py:14-22``."""
+    ad_sc, ad_sp = tuner_adatas
+    config = {
+        "learning_rate": _RayFloat(0.05, 0.2, log=True),
+        "lambda_g1": _RayFloat(0.5, 1.0),
+        "num_epochs": _RayCategorical([4, 6]),
+    }
+    tuner = tg.mapping_hyperparameter_tuning(
+        ad_sc, ad_sp, ["cell_map_consistency"], config, tuner_num_samples=3,
+        cluster_label="subclass_label",
+    )
+    df = tuner.get_results().get_dataframe()
+    assert len(df) == 3
+    assert set(df["config/num_epochs"]).issubset({4, 6})
+    assert ((df["config/learning_rate"] >= 0.05)
+            & (df["config/learning_rate"] <= 0.2)).all()
