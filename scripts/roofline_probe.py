@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+import numpy as np  # noqa: F401
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -25,19 +25,23 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 _fetch = jax.jit(lambda t: jax.tree.leaves(t)[0].ravel()[0])
 
 
-def slope_ms(f, args, ns=(4, 16)):
-    """Marginal ms per call of f, chaining M through repeated calls."""
+def slope_ms(f, args, ns=(4, 16), chain=1):
+    """Marginal ms per call of f; the first ``chain`` outputs are fed back
+    as the first ``chain`` args (donation-friendly)."""
     out = f(*args)
     float(_fetch(out))
     ts = []
     for n in ns:
         a = list(args)
+        out = f(*a)  # fresh donated buffers per measurement
+        a[:chain] = jax.tree.leaves(out)[:chain]
         t0 = time.perf_counter()
         for _ in range(n):
             out = f(*a)
-            new_M = jax.tree.leaves(out)[0]
-            if new_M.shape == a[0].shape and new_M.dtype == a[0].dtype:
-                a[0] = new_M
+            new = jax.tree.leaves(out)[:chain]
+            for i, v in enumerate(new):
+                if v.shape == a[i].shape and v.dtype == a[i].dtype:
+                    a[i] = v
         float(_fetch(out))
         ts.append(time.perf_counter() - t0)
     return (ts[1] - ts[0]) / (ns[1] - ns[0]) * 1e3
@@ -55,40 +59,57 @@ def kernel_breakdown(c, s, k=384, param_dtype=jnp.float32,
     from tangram_tpu.ops.pallas_core import _rowstats, _project
     from tangram_tpu.ops.fused_step import _rbar, _dm_adam, _pick_adam_tc
 
-    rng = np.random.default_rng(0)
-    M = jnp.asarray(rng.normal(0, 1, (c, s)), param_dtype)
-    A = jnp.asarray(rng.random((c, k)), compute_dtype)
+    # all big arrays generated ON DEVICE: a host->device upload of the
+    # 50k x 25k f32 M is ~5 GB through the tunnel (minutes)
+    key = jax.random.PRNGKey(0)
+    kM, kA, kY = jax.random.split(key, 3)
+    M = jax.random.normal(kM, (c, s), jnp.float32).astype(param_dtype)
+    A = jax.random.uniform(kA, (c, k), jnp.float32).astype(compute_dtype)
     w = jnp.ones((c,), jnp.float32)
-    dY = jnp.asarray(rng.random((s, k)), compute_dtype)
+    dY = jax.random.uniform(kY, (s, k), jnp.float32).astype(compute_dtype)
     dq = jnp.ones((s,), jnp.float32)
     dh = jnp.zeros((c,), jnp.float32)
     mu = jnp.zeros((c, s), jnp.bfloat16)
-    nu = jnp.zeros((c, s), jnp.bfloat16)
+    nu = jnp.full((c, s), 0.01, jnp.bfloat16)
     scalars = jnp.asarray([[0.001, 0.9, 0.99, 0.0]], jnp.float32)
+    from tangram_tpu.ops.fused_step import _pick_adam_tc as _ptc
+    print(f"\n--- {c}x{s} k={k} param={param_dtype.__name__} "
+          f"compute={compute_dtype.__name__} "
+          f"(dm tc={_ptc(768, k, 2, jnp.dtype(compute_dtype).itemsize, jnp.dtype(param_dtype).itemsize)}) ---",
+          flush=True)
 
     rows = jax.jit(_rowstats)
     t_rows = slope_ms(rows, (M,))
+    print(f"  rowstats: {t_rows:.2f} ms", flush=True)
     m, l, u = rows(M)
 
     proj = jax.jit(lambda M: _project(M, A, w, m, l))
     t_proj = slope_ms(proj, (M,), ns=(4, 12))  # output shape differs: no chain
+    print(f"  project:  {t_proj:.2f} ms", flush=True)
 
     rbar_f = jax.jit(lambda M: _rbar(M, A, w, m, l, dY, dq, dh))
     t_rbar = slope_ms(rbar_f, (M,), ns=(4, 12))
+    print(f"  rbar:     {t_rbar:.2f} ms", flush=True)
     r = rbar_f(M)
 
-    dm = jax.jit(
-        lambda M, mu, nu: _dm_adam(M, A, w, m, l, dY, dq, dh, r, mu, nu,
-                                   scalars, 0.0, 0.0, with_norms=False),
-    )
-    t_dm = slope_ms(dm, (M, mu, nu), ns=(4, 12))
+    try:
+        dm = jax.jit(
+            lambda M, mu, nu: _dm_adam(M, A, w, m, l, dY, dq, dh, r, mu, nu,
+                                       scalars, 0.0, 0.0,
+                                       with_norms=False)[:3],
+            donate_argnums=(0, 1, 2),
+        )
+        t_dm = slope_ms(dm, (M, mu, nu), ns=(4, 12), chain=3)
+    except Exception as err:
+        print(f"  dm_adam failed ({type(err).__name__}); skipping", flush=True)
+        t_dm = float("nan")
+    print(f"  dm_adam:  {t_dm:.2f} ms", flush=True)
 
     pb = jnp.dtype(param_dtype).itemsize
     cb = jnp.dtype(compute_dtype).itemsize
     tc_dm = _pick_adam_tc(768, k, 2, cb, pb)
     gb = 1e9
-    print(f"\n--- {c}x{s} k={k} param={param_dtype.__name__} "
-          f"compute={compute_dtype.__name__} (dm tc={tc_dm}) ---")
+
     total_ms = total_b = 0.0
     for name, ms, bytes_ in [
         ("rowstats", t_rows, c * s * pb),

@@ -12,6 +12,12 @@ Two mesh layouts:
   spot marginal ``q`` over ICI. Every loss configuration is supported:
   spatial regularizers, clusters mode, constrained ``(M, F)``, and L1/L2
   logit penalties (norm sums psum'd from the kernel-carried rowstats).
+* **("slice", "cell")** — multi-slice pods: cells shard over slices ×
+  chips-per-slice; identical kernels, with every psum running over the
+  product axis so XLA lowers it to an in-slice ICI reduce plus a cross-slice
+  DCN reduce. Wire cost per step and slice: the same (spots × genes)
+  buffers, at DCN rather than ICI rates (see bench.py's north-star comm
+  model).
 * **2-D ("cell", "spot")** — M is block-sharded over both axes, for problems
   whose *rows* no longer fit a chip. The per-cell softmax stats (max /
   sum-exp / Σe·M) are merged across spot shards with one pmax + two psums of
@@ -79,8 +85,12 @@ def _pad_axis(x, axis, target, value=0.0):
     return jnp.pad(x, widths, constant_values=value)
 
 
-def _cell_validity(c_local: int, c_real: int, axis: str):
-    """(c_local,) 1/0 mask of rows that are real cells on this shard."""
+def _cell_validity(c_local: int, c_real: int, axis):
+    """(c_local,) 1/0 mask of rows that are real cells on this shard.
+
+    ``axis`` may be a tuple of mesh axes (multi-slice cell sharding):
+    ``jax.lax.axis_index`` then returns the linearized index over the
+    product axis."""
     start = jax.lax.axis_index(axis) * c_local
     return ((start + jnp.arange(c_local)) < c_real).astype(jnp.float32)
 
@@ -416,15 +426,26 @@ def fit_mapping_fused_sharded(
     val = dict(val_data=val_data, val_each=val_each, donate=donate,
                step_offset=int(step_offset))
     if "spot" in mesh.axis_names and mesh.shape["spot"] > 1:
+        if "slice" in mesh.axis_names:
+            raise NotImplementedError(
+                "multi-slice meshes compose with 1-D cell sharding only "
+                '(axis_names ("slice", "cell")); 2-D spot sharding within '
+                "slices is not implemented"
+            )
         return _fit_2d(params, data, lw, num_epochs, learning_rate, mesh,
                        moment_dtype, compute_dtype, constrained,
                        opt_state=opt_state, return_opt_state=return_opt_state,
                        **val)
 
+    # multi-slice pod: a ("slice", "cell") mesh shards cells over the
+    # product axis — DCN rides the "slice" dimension of every psum
+    axis = "cell"
+    if "slice" in mesh.axis_names:
+        axis = tuple(a for a in mesh.axis_names if a in ("slice", "cell"))
     return _fit_1d(params, data, lw, num_epochs, learning_rate, mesh,
                    moment_dtype, compute_dtype, constrained,
                    opt_state=opt_state, return_opt_state=return_opt_state,
-                   **val)
+                   axis=axis, **val)
 
 
 def _opt_arrays(opt_state, shapes, dtypes, pads):
@@ -460,9 +481,16 @@ def _donate_argnums(extra_names):
 def _fit_1d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
             compute_dtype, constrained, opt_state=None,
             return_opt_state=False, val_data=None, val_each=None,
-            donate=False, step_offset=0):
-    axis = "cell"
-    n_shards = mesh.shape[axis]
+            donate=False, step_offset=0, axis="cell"):
+    # ``axis`` may be a tuple of mesh axes — e.g. ("slice", "cell") for a
+    # multi-slice pod where cells shard over slices × chips-per-slice: the
+    # kernels are unchanged (still row-local softmax) and the Y/q psums run
+    # over the product axis, which XLA lowers to an in-slice ICI reduce plus
+    # a cross-slice DCN reduce (the hierarchical collective is the
+    # compiler's job, not hand-written here).
+    axes = axis if isinstance(axis, tuple) else (axis,)
+    spec_axes = axis if isinstance(axis, str) else tuple(axes)
+    n_shards = int(np.prod([mesh.shape[a] for a in axes]))
     M0 = params[0] if constrained else params
     n_cells = M0.shape[0]
     c_pad = -(-n_cells // n_shards) * n_shards
@@ -483,12 +511,12 @@ def _fit_1d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
 
     # shard the cell-axis arrays; replicate the (small) spot/gene-axis rest
     repl = NamedSharding(mesh, P())
-    cell_rows = NamedSharding(mesh, P("cell", None))
+    cell_rows = NamedSharding(mesh, P(spec_axes, None))
     M0 = jax.device_put(M0, cell_rows)
     S = jax.device_put(S, cell_rows)
     ct = None if ct is None else jax.device_put(ct, cell_rows)
-    w_full = jax.device_put(w_full, NamedSharding(mesh, P("cell")))
-    F0 = None if F0 is None else jax.device_put(F0, NamedSharding(mesh, P("cell")))
+    w_full = jax.device_put(w_full, NamedSharding(mesh, P(spec_axes)))
+    F0 = None if F0 is None else jax.device_put(F0, NamedSharding(mesh, P(spec_axes)))
     # The step reads S/ct through the sharded args; blank them in `data`.
     # ct_encode keeps a (1, n_ct) stub: the epilogue consumes the ct columns
     # through Y but gates the islands penalty on `ct_encode is not None`.
@@ -519,7 +547,7 @@ def _fit_1d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
     mu0 = jax.device_put(mu0, cell_rows)
     nu0 = jax.device_put(nu0, cell_rows)
     count0 = jax.device_put(count0, repl)
-    cell_vec = NamedSharding(mesh, P("cell"))
+    cell_vec = NamedSharding(mesh, P(spec_axes))
     muF0 = None if muF0 is None else jax.device_put(muF0, cell_vec)
     nuF0 = None if nuF0 is None else jax.device_put(nuF0, cell_vec)
 
@@ -550,13 +578,13 @@ def _fit_1d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
         extra_args.append(arr)
 
     if ct is not None:
-        add_extra("ct", P("cell", None), ct)
+        add_extra("ct", P(spec_axes, None), ct)
     if constrained:
-        add_extra("F", P("cell"), F0)
-        add_extra("muF", P("cell"), muF0)
-        add_extra("nuF", P("cell"), nuF0)
+        add_extra("F", P(spec_axes), F0)
+        add_extra("muF", P(spec_axes), muF0)
+        add_extra("nuF", P(spec_axes), nuF0)
     if with_val:
-        add_extra("valS", P("cell", None), valS)
+        add_extra("valS", P(spec_axes, None), valS)
         add_extra("valG", P(), valG)
     if lr_vec is not None:
         add_extra("lr", P(), lr_vec)
@@ -647,7 +675,7 @@ def _fit_1d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
         )
         return M_f, count_f, mu_f, nu_f, history
 
-    rows, vec = P("cell", None), P("cell")
+    rows, vec = P(spec_axes, None), P(spec_axes)
     out_specs = (
         (rows, vec, P(), rows, rows, vec, vec, P()) if constrained
         else (rows, P(), rows, rows, P())

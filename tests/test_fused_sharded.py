@@ -661,3 +661,54 @@ def test_constrained_sharded_nonunit_lambdas(rng, mesh_kind):
     np.testing.assert_allclose(
         np.asarray(hs["total_loss"]), np.asarray(hx["total_loss"]), atol=5e-5
     )
+
+
+def test_fused_sharded_multislice_matches_single_device(rng):
+    """("slice", "cell") mesh — the 2-slice pod composition: cells shard
+    over slices × chips-per-slice, every psum runs over the product axis
+    (in-slice ICI reduce + cross-slice DCN reduce, inserted by XLA)."""
+    lw = LossWeights(lambda_g1=1.0, lambda_d=1.0, lambda_r=0.01)
+    M0, data = make_problem(rng, c=50, s=24, g=10)  # 50 cells: pads to 56
+    p_ref, h_ref = fit_mapping(M0, data, lw, 15, 0.1, impl="pallas", fused=True)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                axis_names=("slice", "cell"))
+    p_sh, h_sh = fit_mapping_fused_sharded(M0, data, lw, 15, 0.1, mesh=mesh)
+
+    np.testing.assert_allclose(
+        np.asarray(h_sh["total_loss"]), np.asarray(h_ref["total_loss"]),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(np.asarray(p_sh), np.asarray(p_ref), atol=2e-4)
+
+
+def test_fused_sharded_multislice_constrained(rng):
+    """Constrained (M, F) over the ("slice", "cell") mesh."""
+    lw = LossWeights(lambda_g1=1.0, lambda_d=1.0, lambda_count=1.0,
+                     lambda_f_reg=1.0)
+    M0, data = make_problem(rng, c=48, s=20, g=8)
+    data = data._replace(target_count=jnp.float32(15.0))
+    F0 = jnp.asarray(np.random.default_rng(3).normal(size=48), jnp.float32)
+
+    p_ref, h_ref = fit_mapping((M0, F0), data, lw, 12, 0.1, constrained=True,
+                               impl="pallas", fused=True)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                axis_names=("slice", "cell"))
+    p_sh, h_sh = fit_mapping_fused_sharded((M0, F0), data, lw, 12, 0.1,
+                                           mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(h_sh["total_loss"]), np.asarray(h_ref["total_loss"]),
+        rtol=1e-4, atol=1e-5,
+    )
+    for a, b in zip(p_sh, p_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+
+
+def test_multislice_rejects_2d_spot_mesh():
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 2, 2),
+                axis_names=("slice", "cell", "spot"))
+    lw = LossWeights(lambda_g1=1.0)
+    M0, data = make_problem(np.random.default_rng(0), c=16, s=8, g=4,
+                            with_d=False)
+    with pytest.raises(NotImplementedError):
+        fit_mapping_fused_sharded(M0, data, lw, 2, 0.1, mesh=mesh)
