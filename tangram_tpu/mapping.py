@@ -289,6 +289,7 @@ def map_cells_to_space(
     moment_dtype="float32",
     compute_dtype="float32",
     param_dtype="float32",
+    rounding="nearest",
     early_stop_tol=None,
     early_stop_window=100,
 ):
@@ -306,7 +307,9 @@ def map_cells_to_space(
     ``learning_rate`` also accepts a per-epoch vector or callable (e.g.
     ``tg.cosine_lr``); ``early_stop_tol``/``early_stop_window`` stop when a
     window improves the best score by less than the tolerance (cells and
-    clusters modes).
+    clusters modes); ``rounding='stochastic'`` stores low-precision
+    parameters/moments (``param_dtype``/``moment_dtype='bfloat16'``) with
+    unbiased stochastic rounding instead of round-to-nearest.
     """
     lambda_d = _check_mapping_args(
         mode, lambda_g1, lambda_d, density_prior, cluster_label,
@@ -358,6 +361,7 @@ def map_cells_to_space(
             moment_dtype=moment_dtype,
             compute_dtype=compute_dtype,
             param_dtype=param_dtype,
+            rounding=rounding,
         )
         mapping_matrix, F_out, training_history = mapper.train(
             learning_rate=learning_rate, num_epochs=num_epochs, print_each=print_each
@@ -408,6 +412,7 @@ def map_cells_to_space(
             moment_dtype=moment_dtype,
             compute_dtype=compute_dtype,
             param_dtype=param_dtype,
+            rounding=rounding,
         )
         mapping_matrix, training_history = mapper.train(
             learning_rate=learning_rate, num_epochs=num_epochs,

@@ -192,6 +192,7 @@ _FIT_STATIC_ARGNAMES = (
     "moment_dtype",
     "compute_dtype",
     "param_dtype",
+    "rounding",
 )
 
 
@@ -211,6 +212,7 @@ def _fit_mapping_impl(
     moment_dtype: str = "float32",
     compute_dtype: str = "float32",
     param_dtype: str = "float32",
+    rounding: str = "nearest",
     val_each=1,
     step_offset=0,
 ):
@@ -291,6 +293,7 @@ def _fit_mapping_impl(
                 fused_constrained_step(
                     M, F, count, mu, nu, muF, nuF, stats, data, lw,
                     lr_at(t), compute_dtype=jnp.dtype(compute_dtype),
+                    rounding=rounding,
                 )
             )
             out = maybe_val(new_params[0], dict(terms), t)
@@ -331,7 +334,7 @@ def _fit_mapping_impl(
             M_new, count_new, mu_new, nu_new, stats_new, terms = (
                 fused_unconstrained_step(
                     M, count, mu, nu, stats, data, lw, lr_at(t),
-                    compute_dtype=jnp.dtype(compute_dtype),
+                    compute_dtype=jnp.dtype(compute_dtype), rounding=rounding,
                 )
             )
             out = maybe_val(M_new, dict(terms), t)
@@ -519,16 +522,19 @@ class Mapper:
         moment_dtype: str = "float32",
         compute_dtype: str = "float32",
         param_dtype: str = "float32",
+        rounding: str = "nearest",
     ):
         del device  # JAX manages placement; kept for signature compatibility
         self.random_state = random_state
         self.impl = impl
         self.mesh = mesh
         # performance knobs for the fused path: Adam-moment storage, matmul
-        # input precision, and parameter storage (see ops/fused_step.py)
+        # input precision, parameter storage, and low-precision store
+        # rounding ("nearest" | "stochastic" — see ops/fused_step.py)
         self.moment_dtype = moment_dtype
         self.compute_dtype = compute_dtype
         self.param_dtype = param_dtype
+        self.rounding = rounding
 
         S = np.asarray(S, dtype=np.float32)
         G = np.asarray(G, dtype=np.float32)
@@ -707,6 +713,7 @@ class Mapper:
                     mesh=self.mesh,
                     moment_dtype=jnp.dtype(self.moment_dtype),
                     compute_dtype=jnp.dtype(self.compute_dtype),
+                    rounding=self.rounding,
                     val_data=val_data if with_val else None,
                     val_each=int(val_each) if with_val else None,
                     donate=True,
@@ -762,6 +769,7 @@ class Mapper:
             moment_dtype=self.moment_dtype,
             compute_dtype=self.compute_dtype,
             param_dtype=self.param_dtype,
+            rounding=self.rounding,
         )
 
         # The training input buffers are donated: self.M is rebound to the
@@ -836,6 +844,7 @@ class Mapper:
                     mesh=self.mesh,
                     moment_dtype=jnp.dtype(self.moment_dtype),
                     compute_dtype=jnp.dtype(self.compute_dtype),
+                    rounding=self.rounding,
                     val_data=val_data if with_val else None,
                     val_each=int(val_each) if with_val else None,
                     opt_state=opt_state, return_opt_state=True,
@@ -852,6 +861,7 @@ class Mapper:
                     moment_dtype=self.moment_dtype,
                     compute_dtype=self.compute_dtype,
                     param_dtype=self.param_dtype,
+                    rounding=self.rounding,
                     opt_state=opt_state, return_opt_state=True,
                     step_offset=epoch, donate=True,
                 )
@@ -925,6 +935,7 @@ class MapperConstrained:
         moment_dtype: str = "float32",
         compute_dtype: str = "float32",
         param_dtype: str = "float32",
+        rounding: str = "nearest",
     ):
         del device
         self.random_state = random_state
@@ -933,6 +944,7 @@ class MapperConstrained:
         self.moment_dtype = moment_dtype
         self.compute_dtype = compute_dtype
         self.param_dtype = param_dtype
+        self.rounding = rounding
 
         S = np.asarray(S, dtype=np.float32)
         G = np.asarray(G, dtype=np.float32)
@@ -1006,6 +1018,7 @@ class MapperConstrained:
                     mesh=self.mesh,
                     moment_dtype=jnp.dtype(self.moment_dtype),
                     compute_dtype=jnp.dtype(self.compute_dtype),
+                    rounding=self.rounding,
                     donate=True,
                 )
                 params = (self.M.astype(jnp.dtype(self.param_dtype)), self.F)
@@ -1036,6 +1049,7 @@ class MapperConstrained:
                 moment_dtype=self.moment_dtype,
                 compute_dtype=self.compute_dtype,
                 param_dtype=self.param_dtype,
+                rounding=self.rounding,
             )
             if print_each is None or num_epochs == 0:
                 # donate: (M, F) are rebound to the result right after (see

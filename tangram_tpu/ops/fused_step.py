@@ -135,12 +135,56 @@ def _pick_adam_tc(ts: int, k: int, moment_bytes: int, compute_bytes: int,
     return 128
 
 
+# ---------------------------------------------------------------------------
+# stochastic rounding for low-precision parameter/moment storage
+# ---------------------------------------------------------------------------
+#
+# ``rounding="stochastic"`` stores bf16 values by adding uniform random bits
+# below the retained mantissa and truncating — unbiased (E[stored] = value),
+# so quantization error accumulates as a zero-mean random walk instead of the
+# systematic drift of round-to-nearest (the standard low-precision-training
+# guard). Bits come from a counter-based hash of (step seed, tile, element):
+# stateless, reproducible, and portable to interpret mode — the pltpu PRNG
+# primitives (prng_seed/prng_random_bits) have no interpret lowering, which
+# would exclude the whole path from the CPU test suite.
+
+
+def _wang_hash(x):
+    """32-bit integer hash (Wang); ~uniform bits from a counter."""
+    x = (x ^ jnp.uint32(61)) ^ (x >> 16)
+    x = x * jnp.uint32(9)
+    x = x ^ (x >> 4)
+    x = x * jnp.uint32(0x27D4EB2D)
+    return x ^ (x >> 15)
+
+
+def _tile_random_bits(shape, seed_u32):
+    """(shape) uint32 random bits keyed by ``seed_u32`` (scalar uint32)."""
+    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    elem = rows * jnp.uint32(shape[1]) + cols
+    return _wang_hash(elem ^ _wang_hash(seed_u32 * jnp.uint32(0x9E3779B9)))
+
+
+def _sr_cast(val_f32, dtype, seed_u32):
+    """Stochastic f32 → bf16 cast: add random bits below the bf16 mantissa,
+    truncate. For f32 targets this is the identity."""
+    if jnp.dtype(dtype) == jnp.float32:
+        return val_f32
+    assert jnp.dtype(dtype) == jnp.dtype(jnp.bfloat16), dtype
+    bits = _tile_random_bits(val_f32.shape, seed_u32)
+    u = jax.lax.bitcast_convert_type(val_f32, jnp.uint32)
+    u = (u + (bits & jnp.uint32(0xFFFF))) & jnp.uint32(0xFFFF0000)
+    # low mantissa bits are zero, so the f32 → bf16 cast below is exact
+    return jax.lax.bitcast_convert_type(u, jnp.float32).astype(dtype)
+
+
 def _dm_adam_kernel(
     M_ref, A_ref, dY_ref, w_ref, dq_ref, dh_ref, m_ref, l_ref, r_ref,
     mu_ref, nu_ref, sc_ref,
     Mo_ref, muo_ref, nuo_ref, mo_ref, lo_ref, uo_ref, s1o_ref, s2o_ref,
     *, c_actual: int, s_actual: int, lam_l1: float, lam_l2: float,
-    with_norms: bool,
+    with_norms: bool, sr: bool = False,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -175,10 +219,22 @@ def _dm_adam_kernel(
     m_hat = mu_new / bc1
     v_hat = nu_new / bc2
     M_new = M_tile - lr * m_hat / (jnp.sqrt(v_hat) + ADAM_EPS)
-    M_stored = M_new.astype(Mo_ref.dtype)
-    Mo_ref[...] = M_stored
-    muo_ref[...] = mu_new.astype(muo_ref.dtype)
-    nuo_ref[...] = nu_new.astype(nuo_ref.dtype)
+    if sr:
+        # per-(step, tile, array) seed: sc_ref[0,3] carries the step count
+        tile_id = jnp.uint32(i * pl.num_programs(1) + j)
+        base = _wang_hash(
+            sc_ref[0, 3].astype(jnp.int32).astype(jnp.uint32)
+            ^ (tile_id * jnp.uint32(0x85EBCA6B))
+        )
+        M_stored = _sr_cast(M_new, Mo_ref.dtype, base ^ jnp.uint32(1))
+        Mo_ref[...] = M_stored
+        muo_ref[...] = _sr_cast(mu_new, muo_ref.dtype, base ^ jnp.uint32(2))
+        nuo_ref[...] = _sr_cast(nu_new, nuo_ref.dtype, base ^ jnp.uint32(3))
+    else:
+        M_stored = M_new.astype(Mo_ref.dtype)
+        Mo_ref[...] = M_stored
+        muo_ref[...] = mu_new.astype(muo_ref.dtype)
+        nuo_ref[...] = nu_new.astype(nuo_ref.dtype)
 
     # Fused rowstats of M_new for the NEXT step (saves a full pass over M):
     # same online max/sumexp accumulation as the standalone rowstats kernel,
@@ -213,7 +269,7 @@ def _dm_adam_kernel(
 
 
 def _dm_adam(M, A, w, m, l, dY, dq, dh, r, mu, nu, scalars, lam_l1, lam_l2,
-             with_norms: bool):
+             with_norms: bool, sr: bool = False):
     """Backward + Adam + next-step rowstats, one streamed pass.
 
     Returns (M_new, mu_new, nu_new, m', l', u'[, s1', s2']) where the primed
@@ -262,13 +318,13 @@ def _dm_adam(M, A, w, m, l, dY, dq, dh, r, mu, nu, scalars, lam_l1, lam_l2,
             _dm_adam_kernel(
                 *ins, *outs,
                 c_actual=c, s_actual=s, lam_l1=float(lam_l1),
-                lam_l2=float(lam_l2), with_norms=True,
+                lam_l2=float(lam_l2), with_norms=True, sr=sr,
             )
         else:
             _dm_adam_kernel(
                 *ins, *outs, None, None,
                 c_actual=c, s_actual=s, lam_l1=float(lam_l1),
-                lam_l2=float(lam_l2), with_norms=False,
+                lam_l2=float(lam_l2), with_norms=False, sr=sr,
             )
 
     return pl.pallas_call(
@@ -343,6 +399,7 @@ def fused_unconstrained_step(
     lw: LossWeights,
     learning_rate,
     compute_dtype=jnp.float32,
+    rounding: str = "nearest",
 ):
     """One fused Adam step.
 
@@ -388,12 +445,13 @@ def fused_unconstrained_step(
     bc1 = 1.0 - BETA1 ** t
     bc2 = 1.0 - BETA2 ** t
     scalars = jnp.stack(
-        [jnp.asarray(learning_rate, jnp.float32), bc1, bc2, jnp.float32(0)]
+        [jnp.asarray(learning_rate, jnp.float32), bc1, bc2, t]
     ).reshape(1, 4)
 
     out = _dm_adam(
         M, A_p, w, m, l, dY_p, dq, dh, r, mu, nu, scalars,
         lw.lambda_l1, lw.lambda_l2, with_norms=need_norms,
+        sr=rounding == "stochastic",
     )
     M_new, mu_new, nu_new = out[:3]
     stats_new = tuple(out[3:])
@@ -421,6 +479,7 @@ def fused_constrained_step(
     lw: LossWeights,
     learning_rate,
     compute_dtype=jnp.float32,
+    rounding: str = "nearest",
 ):
     """One fused Adam step for the constrained mapper (M and the filter F).
 
@@ -476,12 +535,12 @@ def fused_constrained_step(
     bc1 = 1.0 - BETA1 ** t
     bc2 = 1.0 - BETA2 ** t
     scalars = jnp.stack(
-        [jnp.asarray(learning_rate, jnp.float32), bc1, bc2, jnp.float32(0)]
+        [jnp.asarray(learning_rate, jnp.float32), bc1, bc2, t]
     ).reshape(1, 4)
 
     M_new, mu_new, nu_new, m2, l2, u2 = _dm_adam(
         M, A_p, w, m, l, dY_p, dq, dh, r, mu, nu, scalars, 0.0, 0.0,
-        with_norms=False,
+        with_norms=False, sr=rounding == "stochastic",
     )
     F_new, muF_new, nuF_new = _adam_vector(
         F, gF, muF.astype(jnp.float32), nuF.astype(jnp.float32),

@@ -99,9 +99,10 @@ def _adam_scalars(count_new, learning_rate):
     from ..ops.fused_step import BETA1, BETA2
 
     t = count_new.astype(jnp.float32)
+    # slot 3 carries the step count: the stochastic-rounding seed
     return jnp.stack(
         [jnp.asarray(learning_rate, jnp.float32),
-         1.0 - BETA1 ** t, 1.0 - BETA2 ** t, jnp.float32(0)]
+         1.0 - BETA1 ** t, 1.0 - BETA2 ** t, t]
     ).reshape(1, 4)
 
 
@@ -112,7 +113,7 @@ def _adam_scalars(count_new, learning_rate):
 
 def _cell_step_unconstrained(M, count, mu, nu, stats, S_local, ct_local,
                              w_local, cvalid, data, lw, learning_rate,
-                             compute_dtype, axis):
+                             compute_dtype, axis, rounding="nearest"):
     from ..ops.fused_step import _dm_adam, _pad_k, _project, _rbar
 
     mask = data.gene_mask
@@ -153,7 +154,7 @@ def _cell_step_unconstrained(M, count, mu, nu, stats, S_local, ct_local,
     out = _dm_adam(
         M, A_p, w_local, m, l, dY_p, dq, dh_local, r, mu, nu,
         _adam_scalars(count_new, learning_rate), lw.lambda_l1, lw.lambda_l2,
-        with_norms=need_norms,
+        with_norms=need_norms, sr=rounding == "stochastic",
     )
     M_new, mu_new, nu_new = out[:3]
     return (M_new, count_new, mu_new, nu_new, tuple(out[3:])), terms
@@ -177,7 +178,7 @@ def _constrained_dF_direct(w_raw, cvalid, ds1, ds2):
 
 def _cell_step_constrained(M, F, count, mu, nu, muF, nuF, stats, S_local,
                            cvalid, data, lw, learning_rate, compute_dtype,
-                           axis):
+                           axis, rounding="nearest"):
     from ..ops.fused_step import _adam_vector, _dm_adam, _pad_k, _project, _rbar
 
     w_raw = jax.nn.sigmoid(F)
@@ -218,6 +219,7 @@ def _cell_step_constrained(M, F, count, mu, nu, muF, nuF, stats, S_local,
     M_new, mu_new, nu_new, m2, l2, u2 = _dm_adam(
         M, A_p, w, m, l, dY_p, dq, dh_local, r, mu, nu,
         _adam_scalars(count_new, learning_rate), 0.0, 0.0, with_norms=False,
+        sr=rounding == "stochastic",
     )
     F_new, muF_new, nuF_new = _adam_vector(
         F, gF, muF, nuF, jnp.asarray(learning_rate, jnp.float32), bc1, bc2
@@ -247,7 +249,7 @@ def _merge_rowstats(m_l, l_l, u_l, axis):
 
 def _grid_step(M, F, count, mu, nu, muF, nuF, stats_l, S_local, ct_local,
                w_local, cvalid, data_repl, lw, learning_rate, compute_dtype,
-               n_spots_real, constrained):
+               n_spots_real, constrained, rounding="nearest"):
     """One fused Adam step on a (cell, spot) block shard.
 
     The softmax stats are merged across spot shards; the (spots × k)
@@ -341,7 +343,7 @@ def _grid_step(M, F, count, mu, nu, muF, nuF, stats_l, S_local, ct_local,
     out = _dm_adam(
         M, A_p, w, m, l, dY_p, dq_l, dh_local, r, mu, nu,
         _adam_scalars(count_new, learning_rate), lw.lambda_l1, lw.lambda_l2,
-        with_norms=need_norms,
+        with_norms=need_norms, sr=rounding == "stochastic",
     )
     M_new, mu_new, nu_new = out[:3]
     if not constrained:
@@ -377,6 +379,7 @@ def fit_mapping_fused_sharded(
     mesh: Mesh = None,
     moment_dtype=jnp.float32,
     compute_dtype=jnp.float32,
+    rounding: str = "nearest",
     opt_state=None,
     return_opt_state=False,
     val_data: MapperData = None,
@@ -424,7 +427,7 @@ def fit_mapping_fused_sharded(
         mesh = Mesh(devices.reshape(-1), axis_names=("cell",))
 
     val = dict(val_data=val_data, val_each=val_each, donate=donate,
-               step_offset=int(step_offset))
+               step_offset=int(step_offset), rounding=rounding)
     if "spot" in mesh.axis_names and mesh.shape["spot"] > 1:
         if "slice" in mesh.axis_names:
             raise NotImplementedError(
@@ -481,7 +484,7 @@ def _donate_argnums(extra_names):
 def _fit_1d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
             compute_dtype, constrained, opt_state=None,
             return_opt_state=False, val_data=None, val_each=None,
-            donate=False, step_offset=0, axis="cell"):
+            donate=False, step_offset=0, axis="cell", rounding="nearest"):
     # ``axis`` may be a tuple of mesh axes — e.g. ("slice", "cell") for a
     # multi-slice pod where cells shard over slices × chips-per-slice: the
     # kernels are unchanged (still row-local softmax) and the Y/q psums run
@@ -643,6 +646,7 @@ def _fit_1d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
                 new_carry, terms = _cell_step_constrained(
                     M, F, count, mu, nu, muF, nuF, stats, S_local, cvalid,
                     data_local, lw, lr_at(t), compute_dtype, axis,
+                    rounding=rounding,
                 )
                 return new_carry, terms
 
@@ -663,6 +667,7 @@ def _fit_1d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
             new_carry, terms = _cell_step_unconstrained(
                 M, count, mu, nu, stats, S_local, ct_l, w_local, cvalid,
                 data_local, lw, lr_at(t), compute_dtype, axis,
+                rounding=rounding,
             )
             if with_val:
                 terms = {**terms, **maybe_val(t, new_carry[0], new_carry[4])}
@@ -709,7 +714,7 @@ def _fit_1d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
 def _fit_2d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
             compute_dtype, constrained, opt_state=None,
             return_opt_state=False, val_data=None, val_each=None,
-            donate=False, step_offset=0):
+            donate=False, step_offset=0, rounding="nearest"):
     constr = constrained
     M0 = params[0] if constr else params
     cshards, sshards = mesh.shape["cell"], mesh.shape["spot"]
@@ -861,7 +866,7 @@ def _fit_2d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
                 return _grid_step(
                     M, F, count, mu, nu, muF, nuF, stats_l, S_local, ct_l,
                     w_local, cvalid, data_local, lw, lr_at(t),
-                    compute_dtype, n_spots, True,
+                    compute_dtype, n_spots, True, rounding=rounding,
                 )
 
             (M_f, F_f, count_f, mu_f, nu_f, muF_f, nuF_f, _), history = (
@@ -881,7 +886,7 @@ def _fit_2d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
             new_carry, terms = _grid_step(
                 M, None, count, mu, nu, None, None, stats_l, S_local, ct_l,
                 w_local, cvalid, data_local, lw, lr_at(t),
-                compute_dtype, n_spots, False,
+                compute_dtype, n_spots, False, rounding=rounding,
             )
             if with_val:
                 terms = {**terms, **maybe_val(t, new_carry[0], new_carry[4])}

@@ -230,3 +230,100 @@ def test_bf16_params_with_validation(rng):
     np.testing.assert_allclose(
         vg[::4], np.asarray(h32["val_gene_sim"], np.float32)[::4], atol=3e-2
     )
+
+
+# --- stochastic rounding (rounding="stochastic") ---
+
+
+def test_sr_cast_unbiased_and_deterministic():
+    """_sr_cast is an unbiased f32→bf16 quantizer: for a value halfway
+    between bf16 neighbors, E[stored] equals the value (not the nearest)."""
+    import jax.numpy as jnp
+
+    from tangram_tpu.ops.fused_step import _sr_cast
+
+    lo = np.float32(1.0)
+    hi = np.float32(np.nextafter(jnp.bfloat16(1.0).astype(np.float32), 2.0))
+    hi = np.asarray(jnp.asarray(1.0, jnp.bfloat16), np.float32)
+    # halfway between bf16(1.0) and the next bf16 up
+    import ml_dtypes
+
+    nxt = np.nextafter(np.asarray(1.0, ml_dtypes.bfloat16),
+                       np.asarray(2.0, ml_dtypes.bfloat16))
+    half = (1.0 + float(nxt)) / 2.0
+    val = jnp.full((64, 256), half, jnp.float32)
+
+    out = np.asarray(_sr_cast(val, jnp.bfloat16, jnp.uint32(7)), np.float32)
+    uniq = np.unique(out)
+    assert set(uniq) <= {1.0, float(nxt)}  # rounds to a neighbor, never away
+    frac_up = (out == float(nxt)).mean()
+    assert 0.4 < frac_up < 0.6  # unbiased: ~half round up
+    # identical seed -> identical draw; different seed -> different draw
+    out2 = np.asarray(_sr_cast(val, jnp.bfloat16, jnp.uint32(7)), np.float32)
+    np.testing.assert_array_equal(out, out2)
+    out3 = np.asarray(_sr_cast(val, jnp.bfloat16, jnp.uint32(8)), np.float32)
+    assert (out != out3).any()
+
+    # f32 target is the identity
+    same = _sr_cast(val, jnp.float32, jnp.uint32(7))
+    np.testing.assert_array_equal(np.asarray(same), np.asarray(val))
+
+
+def test_sr_training_tracks_f32(rng):
+    """bf16 params+moments with stochastic rounding trains to within a loose
+    tolerance of the f32 trajectory, and is reproducible."""
+    from tangram_tpu.models.mapper import fit_mapping, init_logits
+    from tangram_tpu.ops.losses import LossWeights, MapperData
+
+    c, s, g = 48, 40, 12
+    S = (rng.poisson(2.0, (c, g)) + 0.1).astype(np.float32)
+    G = (rng.poisson(3.0, (s, g)) + 0.1).astype(np.float32)
+    d = rng.random(s).astype(np.float32)
+    d /= d.sum()
+    data = MapperData(S=jnp.asarray(S), G=jnp.asarray(G), d=jnp.asarray(d))
+    lw = LossWeights(lambda_g1=1.0, lambda_d=1.0)
+    M0 = init_logits(c, s, 3, "numpy")
+
+    kw = dict(impl="pallas", fused=True)
+    _, h32 = fit_mapping(M0, data, lw, 60, 0.1, **kw)
+    _, hsr = fit_mapping(M0, data, lw, 60, 0.1, param_dtype="bfloat16",
+                         moment_dtype="bfloat16", rounding="stochastic", **kw)
+    _, hsr2 = fit_mapping(M0, data, lw, 60, 0.1, param_dtype="bfloat16",
+                          moment_dtype="bfloat16", rounding="stochastic", **kw)
+
+    a = np.asarray(h32["main_loss"])
+    b = np.asarray(hsr["main_loss"])
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(b[-1], a[-1], atol=2e-2)  # loose: bf16 storage
+    np.testing.assert_array_equal(b, np.asarray(hsr2["main_loss"]))
+
+
+def test_sr_sharded_runs_and_tracks(rng):
+    """Stochastic rounding through the sharded 1-D path: per-shard tile ids
+    give different draws than single-device, so assert tracking (not
+    equality) and determinism."""
+    import jax
+    from jax.sharding import Mesh
+
+    from tangram_tpu.models.mapper import fit_mapping, init_logits
+    from tangram_tpu.ops.losses import LossWeights, MapperData
+    from tangram_tpu.parallel.fused_sharded import fit_mapping_fused_sharded
+
+    c, s, g = 64, 32, 8
+    S = (rng.poisson(2.0, (c, g)) + 0.1).astype(np.float32)
+    G = (rng.poisson(3.0, (s, g)) + 0.1).astype(np.float32)
+    data = MapperData(S=jnp.asarray(S), G=jnp.asarray(G))
+    lw = LossWeights(lambda_g1=1.0)
+    M0 = init_logits(c, s, 3, "numpy").astype(jnp.bfloat16)
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(-1), axis_names=("cell",))
+
+    _, href = fit_mapping(M0, data, lw, 30, 0.1, impl="pallas", fused=True,
+                          param_dtype="bfloat16", moment_dtype="bfloat16",
+                          rounding="stochastic")
+    _, hsh = fit_mapping_fused_sharded(
+        M0, data, lw, 30, 0.1, mesh=mesh, moment_dtype=jnp.bfloat16,
+        rounding="stochastic",
+    )
+    a, b = np.asarray(href["main_loss"]), np.asarray(hsh["main_loss"])
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(b[-1], a[-1], atol=3e-2)
