@@ -184,13 +184,14 @@ def _dm_adam_kernel(
     mu_ref, nu_ref, sc_ref,
     Mo_ref, muo_ref, nuo_ref, mo_ref, lo_ref, uo_ref, s1o_ref, s2o_ref,
     *, c_actual: int, s_actual: int, lam_l1: float, lam_l2: float,
-    with_norms: bool, sr: bool = False,
+    with_norms: bool, sr: bool = False, with_dh: bool = True,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
     P, dP, _, _ = _dp_tile(
         M_ref[...], m_ref[...], l_ref[...], A_ref[...], dY_ref[...],
         w_ref[...], dq_ref[...], dh_ref[...], i, j, c_actual, s_actual,
+        with_dh=with_dh,
     )
     valid = _spot_mask(s_actual, j, P.shape) & _cell_mask(c_actual, i, P.shape)
     P = jnp.where(valid, P, 0.0)
@@ -213,11 +214,14 @@ def _dm_adam_kernel(
     bc1 = sc_ref[0, 1]
     bc2 = sc_ref[0, 2]
 
-    # moments may be stored in bf16; the update math runs in f32
+    # moments may be stored in bf16; the update math runs in f32.
+    # Bias corrections divide by a SCALAR — hoist the reciprocals so the
+    # tile sees multiplies; the one remaining per-element divide is Adam's
+    # /(sqrt(v̂)+eps), which has no exact multiplicative form.
     mu_new = BETA1 * mu_ref[...].astype(jnp.float32) + (1.0 - BETA1) * g
     nu_new = BETA2 * nu_ref[...].astype(jnp.float32) + (1.0 - BETA2) * (g * g)
-    m_hat = mu_new / bc1
-    v_hat = nu_new / bc2
+    m_hat = mu_new * (1.0 / bc1)
+    v_hat = nu_new * (1.0 / bc2)
     M_new = M_tile - lr * m_hat / (jnp.sqrt(v_hat) + ADAM_EPS)
     if sr:
         # per-(step, tile, array) seed: sc_ref[0,3] carries the step count
@@ -269,7 +273,7 @@ def _dm_adam_kernel(
 
 
 def _dm_adam(M, A, w, m, l, dY, dq, dh, r, mu, nu, scalars, lam_l1, lam_l2,
-             with_norms: bool, sr: bool = False):
+             with_norms: bool, sr: bool = False, with_dh: bool = True):
     """Backward + Adam + next-step rowstats, one streamed pass.
 
     Returns (M_new, mu_new, nu_new, m', l', u'[, s1', s2']) where the primed
@@ -318,13 +322,13 @@ def _dm_adam(M, A, w, m, l, dY, dq, dh, r, mu, nu, scalars, lam_l1, lam_l2,
             _dm_adam_kernel(
                 *ins, *outs,
                 c_actual=c, s_actual=s, lam_l1=float(lam_l1),
-                lam_l2=float(lam_l2), with_norms=True, sr=sr,
+                lam_l2=float(lam_l2), with_norms=True, sr=sr, with_dh=with_dh,
             )
         else:
             _dm_adam_kernel(
                 *ins, *outs, None, None,
                 c_actual=c, s_actual=s, lam_l1=float(lam_l1),
-                lam_l2=float(lam_l2), with_norms=False, sr=sr,
+                lam_l2=float(lam_l2), with_norms=False, sr=sr, with_dh=with_dh,
             )
 
     return pl.pallas_call(
@@ -341,7 +345,7 @@ def _dm_adam(M, A, w, m, l, dY, dq, dh, r, mu, nu, scalars, lam_l1, lam_l2,
     )
 
 
-def _rbar(M, A, w, m, l, dY, dq, dh):
+def _rbar(M, A, w, m, l, dY, dq, dh, with_dh: bool = True):
     c, s = M.shape
     k = A.shape[1]
     cell_stat = pl.BlockSpec((TC, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
@@ -357,7 +361,7 @@ def _rbar(M, A, w, m, l, dY, dq, dh):
     ]
     grid = (pl.cdiv(c, TC), pl.cdiv(s, TS))
     return pl.pallas_call(
-        partial(_rbar_kernel, c_actual=c, s_actual=s),
+        partial(_rbar_kernel, c_actual=c, s_actual=s, with_dh=with_dh),
         grid=grid,
         in_specs=in_specs,
         out_specs=[cell_stat],
@@ -438,7 +442,10 @@ def fused_unconstrained_step(
     dY, dq, dh = vjp(jnp.ones_like(total))
     dY_p = _pad_k(dY).astype(compute_dtype)
 
-    r = _rbar(M, A_p, w, m, l, dY_p, dq, dh)
+    # λ_r = 0 ⇒ dh ≡ 0: drop the entropy-cotangent path from both backward
+    # kernels (static — λ is compile-time)
+    with_dh = lw.lambda_r != 0
+    r = _rbar(M, A_p, w, m, l, dY_p, dq, dh, with_dh=with_dh)
 
     count_new = count + 1
     t = count_new.astype(jnp.float32)
@@ -451,7 +458,7 @@ def fused_unconstrained_step(
     out = _dm_adam(
         M, A_p, w, m, l, dY_p, dq, dh, r, mu, nu, scalars,
         lw.lambda_l1, lw.lambda_l2, with_norms=need_norms,
-        sr=rounding == "stochastic",
+        sr=rounding == "stochastic", with_dh=with_dh,
     )
     M_new, mu_new, nu_new = out[:3]
     stats_new = tuple(out[3:])
@@ -527,7 +534,8 @@ def fused_constrained_step(
     dY_p = _pad_k(dY).astype(compute_dtype)
     dh = jnp.broadcast_to(dhs, (M.shape[0],))
 
-    r = _rbar(M, A_p, w, m, l, dY_p, dq, dh)
+    with_dh = lw.lambda_r != 0  # λ_r = 0 ⇒ dh ≡ 0 (static)
+    r = _rbar(M, A_p, w, m, l, dY_p, dq, dh, with_dh=with_dh)
     gF = dF_direct + (1.0 - w) * (r[:, 0] - dh * (h + 1.0))
 
     count_new = count + 1
@@ -540,7 +548,7 @@ def fused_constrained_step(
 
     M_new, mu_new, nu_new, m2, l2, u2 = _dm_adam(
         M, A_p, w, m, l, dY_p, dq, dh, r, mu, nu, scalars, 0.0, 0.0,
-        with_norms=False, sr=rounding == "stochastic",
+        with_norms=False, sr=rounding == "stochastic", with_dh=with_dh,
     )
     F_new, muF_new, nuF_new = _adam_vector(
         F, gF, muF.astype(jnp.float32), nuF.astype(jnp.float32),

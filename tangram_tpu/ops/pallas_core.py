@@ -123,7 +123,9 @@ def _project_kernel(
     i = pl.program_id(1)  # cell tile (inner, accumulated)
 
     tile = M_ref[...].astype(jnp.float32)  # (TC, TS); params may be bf16
-    P = jnp.exp(tile - m_ref[...]) / l_ref[...]
+    # reciprocal on the (TC, 1) stat column, broadcast multiply: a full-tile
+    # divide is many-cycle on the VPU and was measurable at bf16 shapes
+    P = jnp.exp(tile - m_ref[...]) * (1.0 / l_ref[...])
     # Mask every contraction input's out-of-bounds region: OOB block loads
     # are undefined (NaN in interpret mode) and 0·NaN would poison the MXU
     # accumulation.
@@ -187,17 +189,20 @@ def _project(M, A, w, m, l):
 
 
 def _dp_tile(M_tile, m, l, A_tile, dY_tile, w_tile, dq_tile, dh_tile,
-             i, j, c_actual: int, s_actual: int):
+             i, j, c_actual: int, s_actual: int, with_dh: bool = True):
     """Recompute P and form dP for one (TC, TS) tile.
 
     dP = A dYᵀ + w ⊗ dq + dh ⊙ (log P + 1): the cotangents of Y = PᵀA,
     q = wP and h = Σ P log P respectively. All contraction inputs are masked
     in their OOB regions (undefined loads would produce 0·NaN = NaN).
+
+    ``with_dh=False`` (static) removes the entropy cotangent path — log P and
+    its fused multiply-add over the full tile — for the common λ_r = 0
+    configuration where dh is identically zero.
     """
     M_tile = M_tile.astype(jnp.float32)  # params may be stored bf16
     e = jnp.exp(M_tile - m)
-    P = e / l
-    logP = M_tile - m - jnp.log(l)
+    P = e * (1.0 / l)  # per-row reciprocal, not a full-tile divide
     A_tile = jnp.where(_cell_mask(c_actual, i, A_tile.shape), A_tile, 0.0)
     spot_rows = (
         j * dY_tile.shape[0] + jax.lax.broadcasted_iota(jnp.int32, dY_tile.shape, 0)
@@ -213,19 +218,22 @@ def _dp_tile(M_tile, m, l, A_tile, dY_tile, w_tile, dq_tile, dh_tile,
         preferred_element_type=jnp.float32,
     )
     dP = dP + w_tile * dq_tile  # (TC,1) * (1,TS)
-    dP = dP + dh_tile * (logP + 1.0)
+    if with_dh:
+        logP = M_tile - m - jnp.log(l)
+        dP = dP + dh_tile * (logP + 1.0)
     return P, dP, dY_tile, dq_tile
 
 
 def _rbar_kernel(
     M_ref, A_ref, dY_ref, w_ref, dq_ref, dh_ref, m_ref, l_ref, r_ref,
-    *, c_actual: int, s_actual: int,
+    *, c_actual: int, s_actual: int, with_dh: bool = True,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
     P, dP, _, _ = _dp_tile(
         M_ref[...], m_ref[...], l_ref[...], A_ref[...], dY_ref[...],
         w_ref[...], dq_ref[...], dh_ref[...], i, j, c_actual, s_actual,
+        with_dh=with_dh,
     )
     prod = jnp.where(_spot_mask(s_actual, j, P.shape), P * dP, 0.0)
     prod = jnp.where(_cell_mask(c_actual, i, prod.shape), prod, 0.0)

@@ -148,13 +148,14 @@ def _cell_step_unconstrained(M, count, mu, nu, stats, S_local, ct_local,
     dY_p = _pad_k(dY).astype(compute_dtype)
     dh_local = dh1[0] * cvalid
 
-    r = _rbar(M, A_p, w_local, m, l, dY_p, dq, dh_local)
+    with_dh = lw.lambda_r != 0  # static: λ_r = 0 ⇒ dh ≡ 0
+    r = _rbar(M, A_p, w_local, m, l, dY_p, dq, dh_local, with_dh=with_dh)
 
     count_new = count + 1
     out = _dm_adam(
         M, A_p, w_local, m, l, dY_p, dq, dh_local, r, mu, nu,
         _adam_scalars(count_new, learning_rate), lw.lambda_l1, lw.lambda_l2,
-        with_norms=need_norms, sr=rounding == "stochastic",
+        with_norms=need_norms, sr=rounding == "stochastic", with_dh=with_dh,
     )
     M_new, mu_new, nu_new = out[:3]
     return (M_new, count_new, mu_new, nu_new, tuple(out[3:])), terms
@@ -208,7 +209,8 @@ def _cell_step_constrained(M, F, count, mu, nu, muF, nuF, stats, S_local,
     dY_p = _pad_k(dY).astype(compute_dtype)
     dh_local = jnp.broadcast_to(dhs, (M.shape[0],)) * cvalid
 
-    r = _rbar(M, A_p, w, m, l, dY_p, dq, dh_local)
+    with_dh = lw.lambda_r != 0  # static: λ_r = 0 ⇒ dh ≡ 0
+    r = _rbar(M, A_p, w, m, l, dY_p, dq, dh_local, with_dh=with_dh)
     gF = (dF_direct + (1.0 - w) * (r[:, 0] - dh_local * (h + 1.0))) * cvalid
 
     count_new = count + 1
@@ -219,7 +221,7 @@ def _cell_step_constrained(M, F, count, mu, nu, muF, nuF, stats, S_local,
     M_new, mu_new, nu_new, m2, l2, u2 = _dm_adam(
         M, A_p, w, m, l, dY_p, dq, dh_local, r, mu, nu,
         _adam_scalars(count_new, learning_rate), 0.0, 0.0, with_norms=False,
-        sr=rounding == "stochastic",
+        sr=rounding == "stochastic", with_dh=with_dh,
     )
     F_new, muF_new, nuF_new = _adam_vector(
         F, gF, muF, nuF, jnp.asarray(learning_rate, jnp.float32), bc1, bc2
@@ -337,13 +339,16 @@ def _grid_step(M, F, count, mu, nu, muF, nuF, stats_l, S_local, ct_local,
     dh_local = jnp.broadcast_to(dhs, (M.shape[0],)) * cvalid
     dY_p = _pad_k(dY_l).astype(compute_dtype)
 
-    r = jax.lax.psum(_rbar(M, A_p, w, m, l, dY_p, dq_l, dh_local), "spot")
+    with_dh = lw.lambda_r != 0  # static: λ_r = 0 ⇒ dh ≡ 0
+    r = jax.lax.psum(
+        _rbar(M, A_p, w, m, l, dY_p, dq_l, dh_local, with_dh=with_dh), "spot"
+    )
 
     count_new = count + 1
     out = _dm_adam(
         M, A_p, w, m, l, dY_p, dq_l, dh_local, r, mu, nu,
         _adam_scalars(count_new, learning_rate), lw.lambda_l1, lw.lambda_l2,
-        with_norms=need_norms, sr=rounding == "stochastic",
+        with_norms=need_norms, sr=rounding == "stochastic", with_dh=with_dh,
     )
     M_new, mu_new, nu_new = out[:3]
     if not constrained:
