@@ -42,6 +42,64 @@ PARITY_TOL = 1e-4
 # (spots × genes_padded) projection once per step (reduce-scatter+all-gather
 # ≈ 2·(n-1)/n of the buffer over the ring).
 ICI_BYTES_PER_S = 100e9
+# v5e DCN: ~25 GB/s per host of cross-slice bandwidth (4 chips/host share a
+# 100 Gbps-class NIC pair; conservative figure). Multi-slice runs add one
+# cross-slice reduce of the same (spots × genes) buffer per step.
+DCN_BYTES_PER_S = 25e9
+
+
+def measure_peak_gbps():
+    """Measured HBM copy bandwidth (read+write) via slope timing.
+
+    On this tunneled backend ``block_until_ready`` returns before device
+    execution completes and each host fetch carries ~24 ms of RPC latency,
+    so a single timed call is meaningless: time chains of n1 / n2 dependent
+    copies ending in one scalar fetch and take the marginal cost."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((512 * 1024, 1024), jnp.float32)  # 2 GB
+    f = jax.jit(lambda x: x + 1.0)
+    g = jax.jit(lambda x: x[0, 0])
+    float(g(f(x)))
+    ts = []
+    for n in (5, 25):
+        y = x
+        t0 = _time.perf_counter()
+        for _ in range(n):
+            y = f(y)
+        float(g(y))
+        ts.append(_time.perf_counter() - t0)
+    ms = (ts[1] - ts[0]) / 20 * 1e3
+    return 2 * x.nbytes / ms / 1e6
+
+
+def step_bytes_model(c, s, k_real, pb=4, mb=2, cb=2):
+    """First-principles HBM bytes per fused training step.
+
+    The fused step (ops/fused_step.py) makes 4 streamed passes over the
+    (c, s) parameter matrix — projection read, rbar read, Adam read+write —
+    plus 4 moment passes (mu/nu read+write), plus the (c, k) / (s, k) block
+    refetches forced by the Pallas grids (A is refetched per spot tile in
+    the projection; dY per cell tile in rbar and dm_adam), plus ~8
+    (s, k_real) f32 passes for the XLA epilogue (cosine terms fwd+bwd).
+    ``pb``/``mb``/``cb`` are parameter / moment / compute-input bytes.
+    """
+    from tangram_tpu.ops.fused_step import _pick_adam_tc
+    from tangram_tpu.ops.pallas_core import TC, TS
+
+    k = -(-k_real // 128) * 128
+    tc_dm = _pick_adam_tc(TS, k, mb, cb, pb)
+    m_passes = 4 * c * s * pb
+    moment_passes = 4 * c * s * mb
+    a_refetch = (-(-s // TS)) * c * k * cb + 2 * c * k * cb
+    dy_refetch = ((-(-c // TC)) + (-(-c // tc_dm))) * s * k * cb
+    proj_out = s * k * 4
+    epilogue = 8 * s * k_real * 4
+    total = m_passes + moment_passes + a_refetch + dy_refetch + proj_out + epilogue
+    return total
 
 
 def make_problem(rng, n_cells, n_spots, n_genes=N_GENES):
@@ -89,9 +147,11 @@ def step_time(data, lw, n_cells, n_spots, steps=20, **kwargs):
     return elapsed / steps * 1e3
 
 
-def _spatial_reg_step_time(rng, kwargs, n_cells=26_000, n_spots=50_000):
-    """ms/step with neighborhood-g1 + Geary regularizers on a 50k-spot k-NN
-    graph (VERDICT: atlas-scale spatial regularizers end-to-end)."""
+def _spatial_reg_step_times(rng, kwargs, n_cells=26_000, n_spots=50_000):
+    """Spatial-regularizer step times on a 50k-spot k-NN graph: the
+    two-term leg (round-3 metric, kept comparable) and the FULL stack —
+    λ_neighborhood + λ_ct_islands + λ_getis_ord + λ_moran + λ_geary together
+    (VERDICT r3 #4). Graph products stay O(spots·k) via NeighborGraph."""
     import gc
 
     import jax.numpy as jnp
@@ -100,6 +160,7 @@ def _spatial_reg_step_time(rng, kwargs, n_cells=26_000, n_spots=50_000):
     from tangram_tpu import adlite
     from tangram_tpu.ops.losses import LossWeights, spatial_local_indicators
     from tangram_tpu.spatial import neighbor_graph, spatial_neighbors
+    from tangram_tpu.utils import one_hot_encoding
 
     ad_sp = adlite.AnnData(
         X=np.ones((n_spots, 1), np.float32),
@@ -108,22 +169,195 @@ def _spatial_reg_step_time(rng, kwargs, n_cells=26_000, n_spots=50_000):
     ad_sp.obsm["spatial"] = rng.random((n_spots, 2)) * 1000
     spatial_neighbors(ad_sp, n_neighs=6)
     voxel_graph = neighbor_graph(ad_sp, standardized=True, self_inclusion=True)
+    nb_filter = neighbor_graph(ad_sp, standardized=False, self_inclusion=False)
     autocorr_graph = neighbor_graph(ad_sp, standardized=True, self_inclusion=False)
 
-    lw = LossWeights(
+    base = make_problem(rng, n_cells, n_spots)
+
+    lw0 = LossWeights(lambda_g1=1.0, lambda_d=1.0)
+    ms0 = step_time(base, lw0, n_cells, n_spots, impl="pallas", **kwargs)
+
+    lw2 = LossWeights(
         lambda_g1=1.0, lambda_d=1.0, lambda_neighborhood_g1=0.5, lambda_geary=0.3
     )
-    data = make_problem(rng, n_cells, n_spots)
-    _, _, geary_ref = spatial_local_indicators(data.G, autocorr_graph, lw)
-    data = data._replace(
+    _, _, geary_ref = spatial_local_indicators(base.G, autocorr_graph, lw2)
+    d2 = base._replace(
         voxel_weights=voxel_graph,
         spatial_weights=autocorr_graph,
         geary_ref=jnp.asarray(geary_ref),
     )
-    ms = step_time(data, lw, n_cells, n_spots, impl="pallas", **kwargs)
-    del data
+    ms2 = step_time(d2, lw2, n_cells, n_spots, impl="pallas", **kwargs)
+    del d2
     gc.collect()
-    return ms
+
+    lw5 = LossWeights(
+        lambda_g1=1.0, lambda_d=1.0, lambda_neighborhood_g1=0.5,
+        lambda_ct_islands=0.3, lambda_getis_ord=0.3, lambda_moran=0.3,
+        lambda_geary=0.3,
+    )
+    getis_ref, moran_ref, geary_ref = spatial_local_indicators(
+        base.G, autocorr_graph, lw5
+    )
+    n_types = 24
+    ct = pd.Series(rng.choice([f"t{i}" for i in range(n_types)], n_cells))
+    d5 = base._replace(
+        voxel_weights=voxel_graph, neighborhood_filter=nb_filter,
+        ct_encode=jnp.asarray(one_hot_encoding(ct).values),
+        spatial_weights=autocorr_graph,
+        getis_ord_ref=jnp.asarray(getis_ref),
+        moran_ref=jnp.asarray(moran_ref),
+        geary_ref=jnp.asarray(geary_ref),
+    )
+    ms5 = step_time(d5, lw5, n_cells, n_spots, impl="pallas", **kwargs)
+    del d5, base
+    gc.collect()
+    return {
+        "plain_ms_per_step": round(ms0, 1),
+        "neighborhood_geary_ms_per_step": round(ms2, 1),
+        "full_stack_ms_per_step": round(ms5, 1),
+        "full_stack_vs_plain": round(ms5 / ms0, 2),
+        "workload": f"{n_cells}x{n_spots}, 6-NN graphs, all five spot-graph "
+                    "regularizers + ct one-hot columns",
+    }
+
+
+def _nb_matched_block(kwargs, epochs=EPOCHS):
+    """Headline mapping on the NB-matched fixture (VERDICT r3 #3): same
+    tutorial shape, negative-binomial + dropout counts with spatially-smooth
+    type fields instead of Poisson draws — plus an ACCURACY row the Poisson
+    data cannot provide: correlation of transferred cell-type fractions
+    against the generator's ground truth."""
+    import gc
+    import jax
+    import jax.numpy as jnp
+
+    from tangram_tpu.datasets import synthetic_mapping_pair
+    from tangram_tpu.models.mapper import init_logits
+    from tangram_tpu.ops.losses import LossWeights, MapperData
+
+    ad_sc, ad_sp = synthetic_mapping_pair(
+        n_cells=N_CELLS, n_spots=N_SPOTS, n_genes=N_GENES, random_state=0
+    )
+    X_sc = np.asarray(ad_sc.X)
+    X_sp = np.asarray(ad_sp.X)
+    d = X_sp.sum(axis=1) / X_sp.sum()  # rna_count_based prior
+    data = MapperData(
+        S=jnp.asarray(X_sc), G=jnp.asarray(X_sp), d=jnp.asarray(d)
+    )
+    lw = LossWeights(lambda_g1=1.0, lambda_d=1.0)
+    M0 = init_logits(N_CELLS, N_SPOTS, random_state=42, method="jax")
+
+    import time as _time
+
+    from tangram_tpu.models.mapper import fit_mapping
+
+    fit_mapping(M0, data, lw, epochs, 0.1, **kwargs)  # compile
+    t0 = _time.perf_counter()
+    params, history = fit_mapping(M0 * 1.0001, data, lw, epochs, 0.1, **kwargs)
+    main_loss = np.asarray(history["main_loss"])
+    elapsed = _time.perf_counter() - t0
+    final = float(main_loss[-1])
+    target = final - PARITY_TOL
+    reached = np.nonzero(main_loss >= target)[0]
+    parity_epoch = int(reached[0]) if len(reached) else epochs
+
+    # annotation-transfer accuracy vs the generator's true type fractions:
+    # P^T @ onehot per type, correlated with truth across spots (device-side;
+    # only the (spots x types) summary is fetched)
+    labels = np.asarray(ad_sc.obs["subclass_label"])
+    types = list(ad_sp.uns["true_type_fractions"].columns)
+    onehot = np.stack([(labels == t).astype(np.float32) for t in types], 1)
+
+    @jax.jit
+    def transfer(M, onehot):
+        P = jax.nn.softmax(M.astype(jnp.float32), axis=1)
+        return P.T @ onehot  # (spots, types)
+
+    pred = np.asarray(transfer(params, jnp.asarray(onehot)))
+    truth = ad_sp.uns["true_type_fractions"].to_numpy()
+    corrs = [
+        float(np.corrcoef(pred[:, t], truth[:, t])[0, 1])
+        for t in range(truth.shape[1])
+    ]
+    del params, data, M0
+    gc.collect()
+    return {
+        "data": "synthetic-nb-matched",
+        "generator": "tangram_tpu.datasets.synthetic_mapping_pair "
+                     "(NB counts, lognormal gene means, snRNA zero "
+                     "inflation, spatially-smooth type fields)",
+        "raw_seconds": round(elapsed, 3),
+        "final_train_score": round(final, 4),
+        "parity_epoch": parity_epoch,
+        "seconds_to_loss_parity": round(parity_epoch * elapsed / epochs, 3),
+        "annotation_recovery_median_corr": round(float(np.median(corrs)), 3),
+        "annotation_recovery_mean_corr": round(float(np.mean(corrs)), 3),
+    }
+
+
+def _end_to_end_shard_api(kwargs, n_cells=12_500, n_spots=50_000,
+                          epochs=EPOCHS):
+    """The measured north-star per-chip shard driven through the PUBLIC API
+    (VERDICT r3 #8): pp_adatas → map_cells_to_space, 1000 epochs, wall
+    seconds. The returned AnnData contract includes fetching the full
+    (cells × spots) mapping to host numpy — through this environment's
+    tunnel that transfer runs at ~16 MB/s (measured), so the fetch share is
+    estimated from a small-array rate probe and reported separately (a real
+    host link moves it in under a second)."""
+    import gc
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    import pandas as pd
+
+    import tangram_tpu as tg
+
+    rng = np.random.default_rng(1)
+    genes = [f"g{i}" for i in range(N_GENES)]
+    ad_sc = tg.AnnData(
+        X=(rng.poisson(1.0, (n_cells, N_GENES)) + 1).astype(np.float32),
+        obs=pd.DataFrame(index=[f"c{i}" for i in range(n_cells)]),
+        var=pd.DataFrame(index=genes),
+    )
+    ad_sp = tg.AnnData(
+        X=(rng.poisson(2.0, (n_spots, N_GENES)) + 1).astype(np.float32),
+        var=pd.DataFrame(index=genes),
+    )
+    tg.pp_adatas(ad_sc, ad_sp)
+
+    # host-fetch rate probe (32 MB): estimates the tunnel's share of wall
+    probe = jax.device_put(jnp.ones((8192, 1024), jnp.float32))
+    float(probe[0, 0])
+    t0 = _time.perf_counter()
+    np.asarray(probe)
+    fetch_rate = probe.nbytes / (_time.perf_counter() - t0)
+
+    api_kw = dict(kwargs)
+    t0 = _time.perf_counter()
+    ad_map = tg.map_cells_to_space(
+        ad_sc, ad_sp, num_epochs=epochs, random_state=42, verbose=False,
+        density_prior="rna_count_based", impl="pallas", **api_kw,
+    )
+    wall = _time.perf_counter() - t0
+    final = float(ad_map.uns["training_history"]["main_loss"][-1])
+    m_bytes = n_cells * n_spots * 4
+    fetch_est = m_bytes / fetch_rate
+    out = {
+        "shape": f"{n_cells}x{n_spots} (north-star per-chip shard), "
+                 f"{epochs} epochs via pp_adatas + map_cells_to_space",
+        "wall_seconds": round(wall, 2),
+        "host_fetch_seconds_est": round(fetch_est, 2),
+        "host_fetch_rate_MBps": round(fetch_rate / 1e6, 1),
+        "wall_minus_fetch_seconds": round(wall - fetch_est, 2),
+        "final_train_score": round(final, 4),
+        "note": "the AnnData contract fetches the full mapping matrix to "
+                "host numpy; the tunnel rate above is an artifact of this "
+                "environment (PCIe moves it in <1 s)",
+    }
+    del ad_map
+    gc.collect()
+    return out
 
 
 def _tuner_throughput(rng, n_trials=32, num_epochs=1000):
@@ -193,10 +427,16 @@ def _tuner_throughput(rng, n_trials=32, num_epochs=1000):
     batched_s = run(configs, n_trials)
     run(configs[:1], 1)  # compile the single-trial program
     sequential_s = run(configs[:1], 1)
+    # ONE unit throughout this block: a "trial" = one CONFIG, i.e. 3 seeded
+    # repeat trainings + the stability metrics — exactly the reference's
+    # train_multiple_Mapper unit (mapping_parameter_tuning.py:109-131).
     out = {
-        "workload": f"{n_trials} configs x 3 repeats x {num_epochs} epochs, "
-                    f"clusters {n_types}x{s} (reference tuner scale)",
+        "workload": f"{n_trials} trials x {num_epochs} epochs, clusters "
+                    f"{n_types}x{s} (reference tuner scale)",
+        "trial_definition": "one config = 3 seeded repeat runs + stability "
+                            "metrics (the reference's per-trial unit)",
         "batched_seconds": round(batched_s, 2),
+        "batched_seconds_per_trial": round(batched_s / n_trials, 3),
         "trials_per_second": round(n_trials / batched_s, 2),
         "seconds_per_trial_unbatched": round(sequential_s, 3),
     }
@@ -224,6 +464,8 @@ def _tuner_throughput(rng, n_trials=32, num_epochs=1000):
                     print_each=None, val_each=1)
         ref_trial_s = (time.perf_counter() - t0) * (num_epochs / ref_epochs)
         out["reference_seconds_per_trial_torch_cpu"] = round(ref_trial_s, 1)
+        # same per-trial unit on both sides: reference seconds per config
+        # over batched seconds per config
         out["speedup_vs_reference_trial_this_host"] = round(
             ref_trial_s / (batched_s / n_trials), 0
         )
@@ -492,13 +734,20 @@ def main():
             del M0, data
             gc.collect()
 
+            # --- NB-matched fixture: headline + accuracy-vs-truth rows ---
+            try:
+                result["nb_matched"] = _nb_matched_block(kwargs)
+            except Exception as err:
+                result["nb_matched"] = f"failed: {type(err).__name__}: {err}"
+            gc.collect()
+
             # --- measured single-chip scaling table (no linear model) ---
             table = {}
             for c, s in [(13_000, 9_852), (26_000, 9_852), (26_000, 25_000),
                          (50_000, 25_000)]:
                 d = make_problem(rng, c, s)
                 table[f"{c}x{s}"] = round(
-                    step_time(d, lw, c, s, impl="pallas", **kwargs), 1
+                    step_time(d, lw, c, s, steps=50, impl="pallas", **kwargs), 1
                 )
                 del d
                 gc.collect()
@@ -506,6 +755,30 @@ def main():
             result["atlas_50k_cells_x_25k_spots_ms_per_step"] = table[
                 "50000x25000"
             ]
+
+            # --- roofline: achieved HBM GB/s vs the MEASURED copy peak ---
+            # (VERDICT r3 #1) bytes model: step_bytes_model docstring; peak
+            # from a 2 GB slope-timed copy on this chip, not a spec sheet.
+            peak = measure_peak_gbps()
+            roofline = {
+                "peak_GBps_measured_copy": round(peak, 1),
+                "method": "slope-timed dependent-copy chains (the tunneled "
+                          "backend makes single-call timing meaningless); "
+                          "achieved = first-principles bytes/step / measured "
+                          "ms/step at each shape",
+                "shapes": {},
+            }
+            for key, ms in table.items():
+                c_, s_ = (int(v) for v in key.split("x"))
+                b = step_bytes_model(c_, s_, N_GENES, pb=4, mb=2, cb=2)
+                achieved = b / 1e9 / ms * 1e3
+                roofline["shapes"][key] = {
+                    "bytes_model_GB": round(b / 1e9, 2),
+                    "ms_per_step": ms,
+                    "achieved_GBps": round(achieved, 1),
+                    "fraction_of_peak": round(achieved / peak, 3),
+                }
+            result["roofline"] = roofline
 
             # --- opt-in bf16 parameter storage: 2x single-chip capacity and
             # less HBM traffic per step; converged scores match f32 to ~1e-3
@@ -521,20 +794,61 @@ def main():
             # the v5e-8 1-D cell sharding (100k/8 = 12.5k cells × 50k spots),
             # then add the psum model for the (spots × genes) collectives.
             d = make_problem(rng, 12_500, 50_000)
-            shard_ms = step_time(d, lw, 12_500, 50_000, impl="pallas", **kwargs)
+            shard_ms = step_time(d, lw, 12_500, 50_000, steps=50,
+                                 impl="pallas", **kwargs)
             # opt-in bf16 parameter storage halves the M passes' bytes —
             # the remaining big lever on this memory-bound step (scores
             # stay within ~1e-3 of f32, see tutorial_bf16_params above)
             shard_ms_bf16 = step_time(
-                d, lw, 12_500, 50_000, impl="pallas",
+                d, lw, 12_500, 50_000, steps=50, impl="pallas",
                 param_dtype="bfloat16", **kwargs,
             )
+            # combined bf16 params+moments with stochastic rounding: the
+            # unbiased-store option for the fully-low-precision leg
+            # (VERDICT r3 #2); trajectory-parity evidence lives in
+            # tests/test_fused_step.py::test_sr_training_tracks_f32 and the
+            # bf16_sr_score_delta row below
+            shard_ms_bf16_sr = step_time(
+                d, lw, 12_500, 50_000, steps=50, impl="pallas",
+                param_dtype="bfloat16", rounding="stochastic", **kwargs,
+            )
             del d
+            gc.collect()
+
+            # parity delta of the fully-bf16 stochastic-rounding config on
+            # the tutorial problem (same workload as final_train_score)
+            d_par = make_problem(rng, n_cells, n_spots)
+            M_par = init_logits(n_cells, n_spots, random_state=42,
+                                method="jax")
+            _, sr_main = timed_fit(
+                M_par, d_par, lw, epochs, param_dtype="bfloat16",
+                rounding="stochastic", **kwargs,
+            )
+            result["bf16_sr_tutorial"] = {
+                "final_train_score": round(float(sr_main[-1]), 4),
+                "score_delta_vs_f32_params": round(
+                    float(sr_main[-1]) - final_score, 5
+                ),
+                "config": "param_dtype=bf16, moment_dtype=bf16, "
+                          "compute_dtype=bf16, rounding=stochastic",
+            }
+            del d_par, M_par
             gc.collect()
             genes_padded = -(-N_GENES // 128) * 128
             psum_bytes = 2 * (50_000 * genes_padded * 4) * (7 / 8)
             psum_ms = psum_bytes / ICI_BYTES_PER_S * 1e3
             ns_epoch_ms = shard_ms + psum_ms
+            # roofline entry for the north-star shard (bf16 params+moments)
+            b_shard = step_bytes_model(12_500, 50_000, N_GENES,
+                                       pb=2, mb=2, cb=2)
+            result["roofline"]["shapes"]["12500x50000_bf16"] = {
+                "bytes_model_GB": round(b_shard / 1e9, 2),
+                "ms_per_step": round(shard_ms_bf16, 2),
+                "achieved_GBps": round(b_shard / 1e9 / shard_ms_bf16 * 1e3, 1),
+                "fraction_of_peak": round(
+                    b_shard / 1e9 / shard_ms_bf16 * 1e3 / peak, 3
+                ),
+            }
             # epochs-to-parity measured on the tutorial problem above; the
             # parity fraction is a property of the optimization schedule,
             # not the shape
@@ -544,6 +858,9 @@ def main():
                 "per_chip_shard": "12500x50000 (measured on this chip)",
                 "shard_ms_per_step": round(shard_ms, 2),
                 "shard_ms_per_step_bf16_params": round(shard_ms_bf16, 2),
+                "shard_ms_per_step_bf16_stochastic_rounding": round(
+                    shard_ms_bf16_sr, 2
+                ),
                 "projected_seconds_to_parity_bf16_params": round(
                     (shard_ms_bf16 + psum_bytes / ICI_BYTES_PER_S * 1e3)
                     * parity_epoch / 1e3, 3
@@ -571,13 +888,76 @@ def main():
             result["north_star_projection"]["hlo_validation"] = (
                 _validate_comm_model_against_hlo(psum_bytes)
             )
+
+            # --- two-slice (DCN) projection: the ("slice","cell") mesh path
+            # (parallel/fused_sharded.py, CPU-mesh-tested) on 2 v5e-8
+            # slices: 16-way cell sharding (6,250 × 50k per chip, measured),
+            # in-slice ICI psum + one cross-slice DCN reduce of the same
+            # (spots × genes) buffer per step.
+            try:
+                d2s = make_problem(rng, 6_250, 50_000)
+                shard2_ms = step_time(d2s, lw, 6_250, 50_000, steps=50,
+                                      impl="pallas",
+                                      param_dtype="bfloat16", **kwargs)
+                del d2s
+                gc.collect()
+                ici2_ms = psum_bytes / ICI_BYTES_PER_S * 1e3  # within-slice
+                buf = 50_000 * genes_padded * 4
+                dcn_ms = 2 * (2 - 1) / 2 * buf / DCN_BYTES_PER_S * 1e3
+                epoch2_ms = shard2_ms + ici2_ms + dcn_ms
+                result["two_slice_projection"] = {
+                    "mesh": '("slice","cell") = (2, 8) on 2x v5e-8, '
+                            "bf16 params",
+                    "per_chip_shard": "6250x50000 (measured on this chip)",
+                    "shard_ms_per_step": round(shard2_ms, 2),
+                    "ici_psum_model_ms": round(ici2_ms, 2),
+                    "dcn_reduce_model_ms": round(dcn_ms, 2),
+                    "projected_seconds_1000_epochs": round(epoch2_ms, 3),
+                    "projected_seconds_to_parity": round(
+                        epoch2_ms * parity_epoch / 1e3, 3
+                    ),
+                    "method": "measured per-chip shard + ICI ring psum "
+                              f"(100 GB/s) + cross-slice DCN all-reduce of "
+                              f"the f32 spots x genes_padded buffer at "
+                              f"{DCN_BYTES_PER_S/1e9:.0f} GB/s/host; "
+                              "sharded math asserted equal to single-device "
+                              "on a (2,4) CPU mesh "
+                              "(tests/test_fused_sharded.py multislice)",
+                }
+            except Exception as err:
+                result["two_slice_projection"] = (
+                    f"failed: {type(err).__name__}: {err}"
+                )
+
+            # --- north-star shard through the PUBLIC API (VERDICT r3 #8) ---
+            try:
+                result["north_star_projection"]["end_to_end_shard"] = (
+                    _end_to_end_shard_api(kwargs)
+                )
+            except Exception as err:
+                result["north_star_projection"]["end_to_end_shard"] = (
+                    f"failed: {type(err).__name__}: {err}"
+                )
+            gc.collect()
+
             # --- spatial regularizers at atlas spot counts: k-NN structured
             # graphs (NeighborGraph) keep the W-products O(spots·k) — the
             # dense s×s form would be 10 GB at 50k spots before training
             # even starts, and the reference's Geary term is O(s²·g).
-            result["spatial_reg_knn_50k_spots_ms_per_step"] = round(
-                _spatial_reg_step_time(rng, kwargs), 1
-            )
+            try:
+                spatial = _spatial_reg_step_times(rng, kwargs)
+                result["spatial_reg_50k_spots"] = spatial
+                # round-3 comparable key
+                result["spatial_reg_knn_50k_spots_ms_per_step"] = spatial[
+                    "neighborhood_geary_ms_per_step"
+                ]
+                result["spatial_full_stack_ms_per_step"] = spatial[
+                    "full_stack_ms_per_step"
+                ]
+            except Exception as err:
+                result["spatial_reg_50k_spots"] = (
+                    f"failed: {type(err).__name__}: {err}"
+                )
             # --- tuner population throughput (vs Ray's process-per-trial);
             # own handler: a failure here must not clobber the metrics
             # already measured above
@@ -601,10 +981,32 @@ def main():
                             "BENCH_LAST_TPU.json")
     if on_tpu:
         # persist the measured run so a later tunnel outage still has real
-        # numbers to point at
+        # numbers to point at; 'source' makes the snapshot traceable to the
+        # producing script and the driver's raw record of the same run
         try:
+            import subprocess
+            import time as _time
+
+            try:
+                sha = subprocess.run(
+                    ["git", "rev-parse", "--short", "HEAD"],
+                    capture_output=True, text=True, timeout=10,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                ).stdout.strip() or None
+            except Exception:
+                sha = None
+            result["source"] = {
+                "script": "bench.py",
+                "git": sha,
+                "recorded_utc": _time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", _time.gmtime()
+                ),
+                "raw_run": "the driver records the same stdout line as "
+                           "BENCH_r{N}.json (committed per round)",
+            }
             with open(last_tpu, "w") as f:
                 json.dump(result, f)
+                f.write("\n")
         except OSError:
             pass
     else:
