@@ -46,6 +46,29 @@ ICI_BYTES_PER_S = 100e9
 # 100 Gbps-class NIC pair; conservative figure). Multi-slice runs add one
 # cross-slice reduce of the same (spots × genes) buffer per step.
 DCN_BYTES_PER_S = 25e9
+# Latency floor per collective, added on top of the bandwidth term so the
+# psum model is not a pure flat-rate figure: a ring reduce-scatter +
+# all-gather on n chips crosses 2·(n−1) hops at ~1 µs/hop of ICI link
+# latency, plus ~10 µs of per-collective launch/fusion overhead. At the
+# north-star buffer size this is ~3% of the bandwidth term — reported
+# separately so the margin is visible. DCN hops cost ~50 µs each.
+ICI_HOP_LATENCY_S = 1e-6
+DCN_HOP_LATENCY_S = 50e-6
+COLLECTIVE_LAUNCH_S = 10e-6
+
+
+def ici_psum_ms(wire_bytes, n_chips=8, n_collectives=2):
+    """Ring psum cost model: bandwidth term + hop-latency + launch floor.
+
+    ``wire_bytes`` is the total per-chip wire traffic per step (already
+    including the 2·(n−1)/n reduce-scatter+all-gather factor); the latency
+    term adds 2·(n−1) hops per collective and a launch constant each.
+    """
+    bw_ms = wire_bytes / ICI_BYTES_PER_S * 1e3
+    lat_ms = n_collectives * (
+        2 * (n_chips - 1) * ICI_HOP_LATENCY_S + COLLECTIVE_LAUNCH_S
+    ) * 1e3
+    return bw_ms + lat_ms, bw_ms, lat_ms
 
 
 def measure_peak_gbps():
@@ -868,7 +891,7 @@ def main():
             gc.collect()
             genes_padded = -(-N_GENES // 128) * 128
             psum_bytes = 2 * (50_000 * genes_padded * 4) * (7 / 8)
-            psum_ms = psum_bytes / ICI_BYTES_PER_S * 1e3
+            psum_ms, psum_bw_ms, psum_lat_ms = ici_psum_ms(psum_bytes)
             ns_epoch_ms = shard_ms + psum_ms
             # roofline entry for the north-star shard (bf16 params+moments)
             b_shard = step_bytes_model(12_500, 50_000, N_GENES,
@@ -894,10 +917,11 @@ def main():
                     shard_ms_bf16_sr, 2
                 ),
                 "projected_seconds_to_parity_bf16_params": round(
-                    (shard_ms_bf16 + psum_bytes / ICI_BYTES_PER_S * 1e3)
-                    * parity_epoch / 1e3, 3
+                    (shard_ms_bf16 + psum_ms) * parity_epoch / 1e3, 3
                 ),
                 "psum_model_ms_per_step": round(psum_ms, 2),
+                "psum_model_bandwidth_ms": round(psum_bw_ms, 2),
+                "psum_model_latency_ms": round(psum_lat_ms, 3),
                 "projected_seconds_1000_epochs": round(ns_epoch_ms, 3),
                 "projected_seconds_to_parity": round(ns_parity_s, 3),
                 "meets_60s_target": bool(ns_parity_s < 60.0),
@@ -913,7 +937,11 @@ def main():
                 ),
                 "method": "measured per-chip shard step time + ICI ring "
                           "psum model (2*(n-1)/n of the f32 spots x "
-                          "genes_padded projection at 100 GB/s); sharded "
+                          "genes_padded projection at 100 GB/s, plus a "
+                          "hop-latency/launch floor per collective — "
+                          "reported separately above; no compute/comm "
+                          "overlap is assumed, so the model is an upper "
+                          "bound given the rate constants); sharded "
                           "math asserted equal to single-device on an "
                           "8-device CPU mesh (tests/test_fused_sharded.py)",
             }
@@ -933,9 +961,13 @@ def main():
                                       param_dtype="bfloat16", **kwargs)
                 del d2s
                 gc.collect()
-                ici2_ms = psum_bytes / ICI_BYTES_PER_S * 1e3  # within-slice
+                ici2_ms, _, _ = ici_psum_ms(psum_bytes)  # within-slice
                 buf = 50_000 * genes_padded * 4
-                dcn_ms = 2 * (2 - 1) / 2 * buf / DCN_BYTES_PER_S * 1e3
+                dcn_ms = (
+                    2 * (2 - 1) / 2 * buf / DCN_BYTES_PER_S * 1e3
+                    + (2 * (2 - 1) * DCN_HOP_LATENCY_S
+                       + COLLECTIVE_LAUNCH_S) * 1e3
+                )
                 epoch2_ms = shard2_ms + ici2_ms + dcn_ms
                 result["two_slice_projection"] = {
                     "mesh": '("slice","cell") = (2, 8) on 2x v5e-8, '
@@ -951,9 +983,12 @@ def main():
                     "method": "measured per-chip shard + ICI ring psum "
                               f"(100 GB/s) + cross-slice DCN all-reduce of "
                               f"the f32 spots x genes_padded buffer at "
-                              f"{DCN_BYTES_PER_S/1e9:.0f} GB/s/host; "
-                              "sharded math asserted equal to single-device "
-                              "on a (2,4) CPU mesh "
+                              f"{DCN_BYTES_PER_S/1e9:.0f} GB/s/host, each "
+                              "with a hop-latency/launch floor (1 us/ICI "
+                              "hop, 50 us/DCN hop, 10 us launch), no "
+                              "compute/comm overlap assumed; sharded math "
+                              "asserted equal to single-device on a (2,4) "
+                              "CPU mesh "
                               "(tests/test_fused_sharded.py multislice)",
                 }
             except Exception as err:

@@ -57,10 +57,15 @@ _plot_names = {
 _tune_names = {"mapping_hyperparameter_tuning", "train_multiple_Mapper",
                "pearson_corr", "vote_entropy", "consensus_entropy"}
 _search_names = {"TPESampler", "nondominated_rank"}
+# The lazy submodules themselves are also reachable as attributes
+# (``tg.tuning.loguniform(...)``, ``tg.plot_utils``), mirroring how users
+# reach ``ray.tune`` domains in the reference's tuner.
+_lazy_modules = {"tuning", "plot_utils", "search", "datasets", "evaluation",
+                 "deconv", "spatial", "utils", "adlite"}
 
 __all__ = sorted(
-    [name for name in dir() if not name.startswith("_")]
-    + list(_plot_names) + list(_tune_names) + list(_search_names)
+    {name for name in dir() if not name.startswith("_")}
+    | _plot_names | _tune_names | _search_names | _lazy_modules
 )
 
 
@@ -81,4 +86,8 @@ def __getattr__(name):
         from . import search
 
         return getattr(search, name)
+    if name in _lazy_modules:
+        import importlib
+
+        return importlib.import_module(f".{name}", __name__)
     raise AttributeError(f"module 'tangram_tpu' has no attribute {name!r}")
