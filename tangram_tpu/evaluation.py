@@ -94,6 +94,32 @@ def projected_expression(M, X, backend="auto", spot_chunk=16384):
     return out
 
 
+def projected_expression_from_logits(M_logits, X):
+    """``softmax(M)ᵀ @ X`` computed where the trained logits already live.
+
+    The post-training report in :func:`tangram_tpu.map_cells_to_space` needs
+    the (spots × genes) projection of the mapping. Rebuilding it from the
+    host copy would move the full (cells × spots) matrix to the device
+    again; this recomputes the softmax from the device-resident logits
+    (``Mapper.M`` after ``train`` — two cheap streamed passes over M) and
+    fetches only the (spots × genes) result. A mesh-sharded ``M`` projects
+    in place under GSPMD (XLA inserts the cell-axis psum).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    X_dev = jnp.asarray(np.asarray(X, dtype=np.float32))
+
+    def _proj(m, x):
+        p = jax.nn.softmax(m.astype(jnp.float32), axis=1)
+        # full-f32 accumulation: this value feeds the reported train scores,
+        # which must match the host-numpy path (TPU matmuls default to bf16
+        # inputs otherwise)
+        return jnp.matmul(p.T, x, precision=jax.lax.Precision.HIGHEST)
+
+    return np.asarray(jax.device_get(jax.jit(_proj)(M_logits, X_dev)))
+
+
 def _column_cosine(A, B):
     """Per-column cosine similarity of two (n, g) matrices → (g,)."""
     A = np.asarray(A, dtype=np.float64)

@@ -234,13 +234,25 @@ def _build_spot_graphs(adata_sp, lambdas, graph_format):
     return graphs
 
 
-def _train_gene_report(M, S, G, training_genes, adata_sc, adata_sp):
+def _train_gene_report(M, S, G, training_genes, adata_sc, adata_sp,
+                       M_logits=None):
     """Per-gene training cosine scores + sparsity columns
     (ref mapping_utils.py:401-424), computed as one vectorized pass (through
-    the accelerator at atlas scale)."""
-    from .evaluation import _column_cosine, projected_expression
+    the accelerator at atlas scale). When the trained logits are still
+    device-resident (``M_logits``), the projection recomputes the softmax
+    there instead of shipping the host mapping matrix back to the device —
+    at atlas scale that second (cells × spots) transfer dominates the whole
+    post-training epilogue."""
+    from .evaluation import (
+        _column_cosine,
+        projected_expression,
+        projected_expression_from_logits,
+    )
 
-    G_pred = projected_expression(M, S)
+    if M_logits is not None:
+        G_pred = projected_expression_from_logits(M_logits, S)
+    else:
+        G_pred = projected_expression(M, S)
     report = pd.DataFrame(
         {"train_score": _column_cosine(G_pred, G)}, index=training_genes
     )
@@ -428,8 +440,12 @@ def map_cells_to_space(
     if mode == "constrained":
         adata_map.obs["F_out"] = F_out
 
+    import jax
+
+    logits = getattr(mapper, "M", None)
     adata_map.uns["train_genes_df"] = _train_gene_report(
-        mapping_matrix, S, G, training_genes, adata_sc, adata_sp
+        mapping_matrix, S, G, training_genes, adata_sc, adata_sp,
+        M_logits=logits if isinstance(logits, jax.Array) else None,
     )
     adata_map.uns["training_history"] = training_history
     return adata_map

@@ -144,6 +144,26 @@ def test_map_cells_to_space_output(adatas, mode):
     assert list(ad_map.var.index) == list(adatas[1].obs.index)
 
 
+def test_train_gene_report_device_logits_matches_host(adatas):
+    """The post-train report projects from the device-resident logits
+    (no (cells x spots) host->device round trip); its scores must equal the
+    host-numpy projection of the returned mapping matrix."""
+    from tangram_tpu.evaluation import (
+        _column_cosine,
+        projected_expression,
+    )
+
+    ad_map = tg.map_cells_to_space(
+        adatas[0], adatas[1], num_epochs=30, random_state=42, verbose=False,
+    )
+    genes = list(ad_map.uns["train_genes_df"].index)
+    S = np.asarray(adatas[0][:, genes].X, np.float32)
+    G = np.asarray(adatas[1][:, genes].X, np.float32)
+    host_scores = _column_cosine(projected_expression(ad_map.X, S), G)
+    reported = ad_map.uns["train_genes_df"].loc[genes, "train_score"].values
+    np.testing.assert_allclose(reported, host_scores, rtol=1e-5, atol=1e-6)
+
+
 def test_map_constrained_output(adatas):
     ad_map = tg.map_cells_to_space(
         adatas[0],
