@@ -39,7 +39,10 @@ spatial_neighbors(ad_sp, n_neighs=6)
 voxel_graph = neighbor_graph(ad_sp, standardized=True, self_inclusion=True)
 nb_filter = neighbor_graph(ad_sp, standardized=False, self_inclusion=False)
 autocorr_graph = neighbor_graph(ad_sp, standardized=True, self_inclusion=False)
-getis_graph = neighbor_graph(ad_sp, standardized=False, self_inclusion=True)
+# NOTE: when Getis-Ord is active the reference overwrites the shared
+# spatial-weights slot with its (standardized=False, self_inclusion=True)
+# variant (mapping.py _GRAPH_RECIPES); this probe exercises the Moran/Geary
+# graph, which is what the bench's spatial legs time.
 
 n_types = 24
 ct = pd.Series(rng.choice([f"t{i}" for i in range(n_types)], n_cells))

@@ -241,6 +241,29 @@ def _fit_mapping_impl(
     resolved = resolve_impl(impl, params[0].shape if constrained else params.shape)
     use_fused = fused and resolved == "pallas"
 
+    if rounding not in ("nearest", "stochastic"):
+        raise ValueError(
+            f'rounding must be "nearest" or "stochastic", got {rounding!r}'
+        )
+    if rounding == "stochastic":
+        if not use_fused:
+            # silently training with biased nearest rounding is the exact
+            # drift stochastic rounding exists to prevent — reject rather
+            # than ignore
+            raise ValueError(
+                "rounding='stochastic' is implemented in the fused Pallas "
+                "step; the XLA path stores round-to-nearest. Use "
+                "impl='pallas' (or drop the rounding option)."
+            )
+        for name, dt in (("param_dtype", param_dtype),
+                         ("moment_dtype", moment_dtype)):
+            if jnp.dtype(dt) not in (jnp.dtype(jnp.float32),
+                                     jnp.dtype(jnp.bfloat16)):
+                raise ValueError(
+                    f"rounding='stochastic' supports float32/bfloat16 "
+                    f"storage; got {name}={dt!r}"
+                )
+
     # learning_rate is a scalar (constant, the reference behavior) or a
     # per-epoch vector of length num_epochs (schedules; ops/schedules.py).
     lr_is_vec = jnp.ndim(learning_rate) == 1
@@ -534,6 +557,19 @@ class Mapper:
         self.moment_dtype = moment_dtype
         self.compute_dtype = compute_dtype
         self.param_dtype = param_dtype
+        if rounding not in ("nearest", "stochastic"):
+            raise ValueError(
+                f'rounding must be "nearest" or "stochastic", got {rounding!r}'
+            )
+        if rounding == "stochastic":
+            for _n, _dt in (("param_dtype", param_dtype),
+                            ("moment_dtype", moment_dtype)):
+                if jnp.dtype(_dt) not in (jnp.dtype(jnp.float32),
+                                          jnp.dtype(jnp.bfloat16)):
+                    raise ValueError(
+                        f"rounding='stochastic' supports float32/bfloat16 "
+                        f"storage; got {_n}={_dt!r}"
+                    )
         self.rounding = rounding
 
         S = np.asarray(S, dtype=np.float32)
@@ -708,6 +744,12 @@ class Mapper:
             from ..parallel import fit_mapping_fused_sharded, fit_mapping_sharded
 
             use_fused_mesh = "cell" in self.mesh.axis_names
+            if self.rounding == "stochastic" and not use_fused_mesh:
+                raise ValueError(
+                    "rounding='stochastic' is implemented in the fused "
+                    "sharded step (a mesh with a 'cell' axis); the GSPMD "
+                    "path stores round-to-nearest."
+                )
             if use_fused_mesh:
                 mesh_kw = dict(
                     mesh=self.mesh,
@@ -944,6 +986,19 @@ class MapperConstrained:
         self.moment_dtype = moment_dtype
         self.compute_dtype = compute_dtype
         self.param_dtype = param_dtype
+        if rounding not in ("nearest", "stochastic"):
+            raise ValueError(
+                f'rounding must be "nearest" or "stochastic", got {rounding!r}'
+            )
+        if rounding == "stochastic":
+            for _n, _dt in (("param_dtype", param_dtype),
+                            ("moment_dtype", moment_dtype)):
+                if jnp.dtype(_dt) not in (jnp.dtype(jnp.float32),
+                                          jnp.dtype(jnp.bfloat16)):
+                    raise ValueError(
+                        f"rounding='stochastic' supports float32/bfloat16 "
+                        f"storage; got {_n}={_dt!r}"
+                    )
         self.rounding = rounding
 
         S = np.asarray(S, dtype=np.float32)

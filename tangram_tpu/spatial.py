@@ -94,11 +94,27 @@ def spatial_neighbors(
     if delaunay or coord_type == "delaunay":
         from scipy.spatial import Delaunay
 
+        if np.isscalar(radius) and radius is not None:
+            raise ValueError(
+                "a scalar radius selects a radius-neighbors graph and "
+                "cannot be combined with delaunay=True; pass a (rmin, rmax) "
+                "tuple to prune Delaunay edges by distance interval."
+            )
         tri = Delaunay(coords)
         indptr, indices = tri.vertex_neighbor_vertices
         rows = np.repeat(np.arange(n), np.diff(indptr))
         cols = indices
         d = np.linalg.norm(coords[rows] - coords[cols], axis=1)
+        # squidpy semantics: percentile (and a (rmin, rmax) radius interval)
+        # prune long triangulation edges — percentile is documented there as
+        # the delaunay companion, trimming the border/hull artifacts
+        if radius is not None:
+            rmin, rmax = radius
+            keep = (d >= float(rmin)) & (d <= float(rmax))
+            rows, cols, d = rows[keep], cols[keep], d[keep]
+        if percentile is not None and len(d):
+            keep = d <= np.percentile(d, percentile)
+            rows, cols, d = rows[keep], cols[keep], d[keep]
     elif np.isscalar(radius):
         # fixed-radius graph (squidpy: radius as a single float)
         from sklearn.neighbors import NearestNeighbors

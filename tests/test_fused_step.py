@@ -327,3 +327,33 @@ def test_sr_sharded_runs_and_tracks(rng):
     a, b = np.asarray(href["main_loss"]), np.asarray(hsh["main_loss"])
     assert np.isfinite(b).all()
     np.testing.assert_allclose(b[-1], a[-1], atol=3e-2)
+
+
+def test_rounding_validation(rng):
+    """Invalid or silently-unsupported rounding configurations are rejected
+    instead of training with biased round-to-nearest stores."""
+    import pytest
+
+    from tangram_tpu.models.mapper import Mapper, fit_mapping, init_logits
+    from tangram_tpu.ops.losses import LossWeights, MapperData
+
+    c, s, g = 24, 20, 8
+    S = (rng.poisson(2.0, (c, g)) + 0.1).astype(np.float32)
+    G = (rng.poisson(3.0, (s, g)) + 0.1).astype(np.float32)
+    data = MapperData(S=jnp.asarray(S), G=jnp.asarray(G))
+    lw = LossWeights(lambda_g1=1.0)
+    M0 = init_logits(c, s, 3, "numpy")
+
+    # typo'd value fails fast at the constructor
+    with pytest.raises(ValueError, match="rounding"):
+        Mapper(S=S, G=G, rounding="Stochastic")
+    # the XLA path stores round-to-nearest; requesting SR there must raise
+    with pytest.raises(ValueError, match="stochastic"):
+        fit_mapping(M0, data, lw, 5, 0.1, impl="xla",
+                    param_dtype="bfloat16", rounding="stochastic")
+    # SR only supports f32/bf16 storage
+    with pytest.raises(ValueError, match="float32/bfloat16"):
+        fit_mapping(M0, data, lw, 5, 0.1, impl="pallas", fused=True,
+                    param_dtype="float16", rounding="stochastic")
+    with pytest.raises(ValueError, match="float32/bfloat16"):
+        Mapper(S=S, G=G, param_dtype="float16", rounding="stochastic")

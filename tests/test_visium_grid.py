@@ -273,3 +273,37 @@ def test_parameter_validation():
     ad2 = make_adata(coords)
     with pytest.raises(ValueError):
         spatial_neighbors(ad2, coord_type="generic", n_rings=2)
+
+
+def test_delaunay_percentile_prunes_long_edges():
+    """squidpy documents percentile as the Delaunay companion: it must prune
+    long triangulation (border/hull) edges, not be silently ignored."""
+    rng = np.random.default_rng(3)
+    coords = rng.random((80, 2)) * 10
+    ad_all = make_adata(coords)
+    spatial_neighbors(ad_all, coord_type="generic", delaunay=True)
+    d_all = ad_all.obsp["spatial_distances"]
+    ad = make_adata(coords)
+    spatial_neighbors(ad, coord_type="generic", delaunay=True,
+                      percentile=50.0)
+    d = ad.obsp["spatial_distances"]
+    assert d.nnz < d_all.nnz
+    assert d.data.max() <= np.percentile(d_all.data, 50.0) + 1e-12
+
+
+def test_delaunay_radius_interval_prunes():
+    rng = np.random.default_rng(4)
+    coords = rng.random((60, 2)) * 10
+    ad = make_adata(coords)
+    spatial_neighbors(ad, coord_type="generic", delaunay=True,
+                      radius=(0.3, 1.2))
+    d = ad.obsp["spatial_distances"]
+    assert d.nnz > 0
+    assert d.data.min() >= 0.3 and d.data.max() <= 1.2
+
+
+def test_delaunay_rejects_scalar_radius():
+    coords = np.random.default_rng(5).random((30, 2)) * 10
+    ad = make_adata(coords)
+    with pytest.raises(ValueError, match="scalar radius"):
+        spatial_neighbors(ad, coord_type="generic", delaunay=True, radius=1.0)
