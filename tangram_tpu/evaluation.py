@@ -65,7 +65,15 @@ def projected_expression(M, X, backend="auto", spot_chunk=16384):
             import jax.numpy as jnp
 
             X_dev = jnp.asarray(np.asarray(X, dtype=np.float32))
-            out = jax.jit(lambda m, x: m.astype(jnp.float32).T @ x)(M, X_dev)
+            # f32 accumulation: these projections feed the reported gene
+            # scores, which must match the host-numpy path (TPU matmuls
+            # default to bf16 inputs otherwise)
+            out = jax.jit(
+                lambda m, x: jnp.matmul(
+                    m.astype(jnp.float32).T, x,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            )(M, X_dev)
             return np.asarray(jax.device_get(out))
     except ImportError:  # pragma: no cover - jax is a hard dep in practice
         pass
@@ -86,7 +94,9 @@ def projected_expression(M, X, backend="auto", spot_chunk=16384):
     import jax.numpy as jnp
 
     X_dev = jnp.asarray(X)
-    matmul = jax.jit(lambda m, x: m.T @ x)
+    matmul = jax.jit(
+        lambda m, x: jnp.matmul(m.T, x, precision=jax.lax.Precision.HIGHEST)
+    )
     out = np.empty((M.shape[1], X.shape[1]), np.float32)
     for start in range(0, M.shape[1], spot_chunk):
         stop = min(start + spot_chunk, M.shape[1])

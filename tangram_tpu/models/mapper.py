@@ -917,7 +917,10 @@ class Mapper:
                 )
             epoch += chunk
             chunk_best = float(np.max(histories[-1]["main_loss"]))
-            if chunk_best - best < tol:
+            # A diverged (NaN/inf) score must also stop the loop: NaN makes
+            # `chunk_best - best < tol` False forever, which would otherwise
+            # keep training garbage parameters to the full epoch budget.
+            if not np.isfinite(chunk_best) or chunk_best - best < tol:
                 stopped_at = epoch
                 break
             best = max(best, chunk_best)
@@ -1067,6 +1070,12 @@ class MapperConstrained:
             # stream live, like the single-chip path (Adam state carried)
             from ..parallel import fit_mapping_fused_sharded, fit_mapping_sharded
 
+            if self.rounding == "stochastic" and "cell" not in self.mesh.axis_names:
+                raise ValueError(
+                    "rounding='stochastic' is implemented in the fused "
+                    "sharded step (a mesh with a 'cell' axis); the GSPMD "
+                    "path stores round-to-nearest."
+                )
             if "cell" in self.mesh.axis_names:
                 fit_mesh = fit_mapping_fused_sharded
                 mesh_kw = dict(

@@ -125,12 +125,15 @@ def _safe_div(num, den):
     return jnp.where(ok, num / jnp.where(ok, den, 1.0), 0.0)
 
 
-def spatial_local_indicators(G, W, lw: LossWeights, gene_mask=None):
+def spatial_local_indicators(G, W, lw: LossWeights):
     """Getis-Ord G*, Moran's I, and Geary's C per gene.
 
     Matches reference ``mapping_optimizer.py:159-187`` numerically; Geary's C
     is computed via the streamed identity (see module docstring) instead of
-    the O(s²·g) broadcast.
+    the O(s²·g) broadcast. Gene masking is not needed here: padded/held-out
+    columns of ``G`` are zero, the indicators come out 0 via ``_safe_div``,
+    and the downstream ``_masked_mean`` over cosine similarities excludes
+    them.
     """
     getis_ord = moran = geary = None
     n_spots = G.shape[0]
@@ -278,7 +281,7 @@ def unconstrained_epilogue(Y, q, h, l1_sum, l2_sum, data: MapperData, lw: LossWe
 
     # spatial autocorrelation preservation (:251-263)
     getis_pred, moran_pred, geary_pred = spatial_local_indicators(
-        G_pred, data.spatial_weights, lw, mask
+        G_pred, data.spatial_weights, lw
     )
     getis_term = moran_term = geary_term = 0.0
     terms["getis_ord_sim"] = jnp.float32(jnp.nan)

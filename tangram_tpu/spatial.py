@@ -240,6 +240,12 @@ def neighbor_graph(
     Produces identical W @ X products without materializing the dense s×s
     matrix (SURVEY §2.3 "spot parallelism": the scaling dimension of Tangram
     is spots, not layers).
+
+    ``max_neighbors`` caps the padded row width ``k``. When the cap actually
+    truncates a row, the row keeps its ``k`` largest-``|weight|`` edges (the
+    self edge, when ``self_inclusion``, always keeps its slot) and a warning
+    reports how many edges were dropped — the W @ X product is then an
+    approximation of the dense one.
     """
     import jax.numpy as jnp
 
@@ -248,26 +254,48 @@ def neighbor_graph(
     n = W.shape[0]
 
     nnz = np.diff(W.indptr)
-    k = int(nnz.max()) if n else 0
-    if self_inclusion:
-        k += 1
-    if max_neighbors is not None:
-        k = min(k, max_neighbors)
+    rows = np.repeat(np.arange(n), nnz)
+    k = (int(nnz.max()) if n else 0) + (1 if self_inclusion else 0)
+    data, cols = W.data, W.indices
+    if max_neighbors is not None and k > int(max_neighbors):
+        k = int(max_neighbors)
+        k_edges = k - 1 if self_inclusion else k
+        if k_edges <= 0:
+            raise ValueError(
+                "max_neighbors leaves no room for graph edges"
+                + (" beside the self edge" if self_inclusion else "")
+            )
+        # reorder each row's entries by descending |weight| so truncation
+        # keeps the heaviest edges, not whatever came last in CSR order
+        order = np.lexsort((-np.abs(W.data), rows))
+        data, cols = W.data[order], W.indices[order]
+        dropped = int(np.maximum(nnz - k_edges, 0).sum())
+        if dropped:
+            import warnings
+
+            warnings.warn(
+                f"max_neighbors={max_neighbors} drops {dropped} graph "
+                f"edge(s) (keeping each row's {k_edges} largest-|weight| "
+                "ones); W @ X products are approximate. Raise max_neighbors "
+                "for exact parity with spatial_weights().",
+                stacklevel=2,
+            )
+    k_edges = k - 1 if self_inclusion else k
 
     # CSR → padded (s, k) in one scatter: each stored entry goes to
-    # (its row, its within-row position); entries past k are dropped.
+    # (its row, its within-row position); entries past k_edges are dropped.
     indices = np.zeros((n, k), dtype=np.int32)
     weights = np.zeros((n, k), dtype=np.float32)
-    rows = np.repeat(np.arange(n), nnz)
     slots = np.arange(W.nnz) - np.repeat(W.indptr[:-1], nnz)
-    keep = slots < k
-    indices[rows[keep], slots[keep]] = W.indices[keep]
-    weights[rows[keep], slots[keep]] = W.data[keep]
+    keep = slots < k_edges
+    indices[rows[keep], slots[keep]] = cols[keep]
+    weights[rows[keep], slots[keep]] = data[keep]
     if self_inclusion:
-        # self-edge appended after each row's entries, when it still fits
-        fits = np.nonzero(nnz < k)[0]
-        indices[fits, nnz[fits]] = fits
-        weights[fits, nnz[fits]] = 1.0
+        # self-edge appended after each row's kept entries (slot reserved
+        # by k_edges = k - 1, so it survives truncation too)
+        kept = np.minimum(nnz, k_edges)
+        indices[np.arange(n), kept] = np.arange(n)
+        weights[np.arange(n), kept] = 1.0
     from .ops.core import transpose_arrays
 
     t_idx, t_w = transpose_arrays(indices, weights)

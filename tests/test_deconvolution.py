@@ -158,6 +158,63 @@ def test_neighbor_graph_matches_dense(rng):
         np.testing.assert_allclose(np.asarray(graph.col_sums()), W_dense.sum(0), rtol=1e-5)
 
 
+def test_neighbor_graph_max_neighbors_truncation(rng):
+    """When max_neighbors actually truncates, each row keeps its
+    largest-|weight| edges (the self edge keeps its reserved slot), a
+    warning reports the dropped count, and the product matches the
+    manually-truncated dense matrix."""
+    import warnings
+
+    import jax.numpy as jnp
+
+    from tangram_tpu.ops.core import graph_matmul
+    from tangram_tpu.spatial import neighbor_graph, sparse_weights, spatial_neighbors
+
+    n = 30
+    ad_sp = tg.AnnData(X=np.ones((n, 3), np.float32))
+    ad_sp.obsm["spatial"] = rng.random((n, 2))
+    spatial_neighbors(ad_sp)
+    W = sparse_weights(ad_sp, standardized=True)  # distinct weights
+    nnz = np.diff(W.indptr)
+    X = rng.normal(size=(n, 4)).astype(np.float32)
+
+    for incl in (False, True):
+        cap = int(nnz.max()) - 2 + (1 if incl else 0)  # forces truncation
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            graph = neighbor_graph(
+                ad_sp, standardized=True, self_inclusion=incl,
+                max_neighbors=cap,
+            )
+        assert any("drops" in str(w.message) for w in rec)
+        # expected: per-row top-(cap - incl) by |weight|, then +I if incl
+        k_edges = cap - 1 if incl else cap
+        Wd = W.toarray()
+        expect = np.zeros_like(Wd)
+        for i in range(n):
+            cols = np.nonzero(Wd[i])[0]
+            order = np.argsort(-np.abs(Wd[i, cols]), kind="stable")
+            keep = cols[order[:k_edges]]
+            expect[i, keep] = Wd[i, keep]
+        if incl:
+            expect[np.diag_indices(n)] += 1.0
+        got = np.asarray(graph_matmul(graph, jnp.asarray(X)))
+        np.testing.assert_allclose(got, expect @ X, rtol=1e-5, atol=1e-6,
+                                   err_msg=f"incl={incl}")
+
+    # an uncapped build must not warn
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        neighbor_graph(ad_sp, standardized=True, self_inclusion=True,
+                       max_neighbors=int(nnz.max()) + 1)
+    assert not [w for w in rec if "drops" in str(w.message)]
+
+    # a cap that leaves no room for edges beside the self slot is an error
+    with pytest.raises(ValueError, match="no room"):
+        neighbor_graph(ad_sp, standardized=True, self_inclusion=True,
+                       max_neighbors=1)
+
+
 def test_spatial_weights_semantics(rng):
     """Standardized weights = row-L1-normalized distances on the
     connectivity pattern; self-inclusion adds I after normalization."""

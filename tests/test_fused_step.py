@@ -357,3 +357,21 @@ def test_rounding_validation(rng):
                     param_dtype="float16", rounding="stochastic")
     with pytest.raises(ValueError, match="float32/bfloat16"):
         Mapper(S=S, G=G, param_dtype="float16", rounding="stochastic")
+
+    # a mesh without a "cell" axis trains through GSPMD, which stores
+    # round-to-nearest — requesting SR there must raise, not silently bias
+    import jax
+    from jax.sharding import Mesh
+
+    from tangram_tpu.models.mapper import MapperConstrained
+
+    mesh = Mesh(np.asarray(jax.devices()[:2]), axis_names=("spot",))
+    m = Mapper(S=S, G=G, mesh=mesh, param_dtype="bfloat16",
+               rounding="stochastic")
+    with pytest.raises(ValueError, match="stochastic"):
+        m.train(num_epochs=2, print_each=None)
+    d = np.full(s, 1.0 / s, np.float32)
+    mc = MapperConstrained(S=S, G=G, d=d, mesh=mesh, param_dtype="bfloat16",
+                           rounding="stochastic")
+    with pytest.raises(ValueError, match="stochastic"):
+        mc.train(num_epochs=2, print_each=None)

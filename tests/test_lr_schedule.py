@@ -215,6 +215,20 @@ class TestEarlyStopping:
             max(hist["main_loss"][-50:]) - max(hist["main_loss"][:-50]) < 1e-4
         )
 
+    def test_nan_score_stops_first_window(self, rng):
+        """A diverged (NaN) score must stop the window loop immediately:
+        NaN makes `chunk_best - best < tol` False, which without the
+        isfinite guard would train garbage to the full epoch budget."""
+        S, G = self._problem(rng)
+        S[0, 0] = np.nan  # poisons every score from epoch 0
+        m = Mapper(S=S, G=G, random_state=3)
+        with np.testing.suppress_warnings():
+            _, hist = m.train(num_epochs=500, learning_rate=0.1,
+                              print_each=None, early_stop_tol=1e-4,
+                              early_stop_window=50)
+        assert len(hist["main_loss"]) == 50  # first window, not 500
+        assert not np.isfinite(hist["main_loss"][-1])
+
     def test_runs_full_budget_when_improving(self, rng):
         S, G = self._problem(rng)
         m = Mapper(S=S, G=G, random_state=3)
