@@ -42,7 +42,10 @@ def parse_args(argv=None):
     p.add_argument("--spots", type=int, default=50_000)
     p.add_argument("--genes", type=int, default=249)
     p.add_argument("--devices", type=int, default=8)
-    p.add_argument("--mesh", choices=["1d", "2d"], default="1d")
+    p.add_argument("--mesh", choices=["1d", "2d", "multislice"], default="1d",
+                   help="'multislice' lowers over a ('slice','cell') mesh "
+                        "(devices/8 slices x 8 chips) — the DCN leg's "
+                        "program (VERDICT r4 #6)")
     p.add_argument("--compute-dtype", default="bfloat16")
     p.add_argument("--verbose", action="store_true",
                    help="also list every collective op found")
@@ -171,6 +174,7 @@ def analyze_hlo(hlo: str, n_devices: int, verbose: bool = False):
     def collect(names):
         buf = wire = 0.0
         ops = []
+        by_group = {}
         for cname in names:
             for line in comps[cname].splitlines():
                 m = op_re.search(line)
@@ -199,23 +203,35 @@ def analyze_hlo(hlo: str, n_devices: int, verbose: bool = False):
                 w = _wire_bytes(op, b, g)
                 buf += b
                 wire += w
+                grp = by_group.setdefault(
+                    g, {"count": 0, "buffer_bytes": 0.0, "wire_bytes": 0.0}
+                )
+                grp["count"] += 1
+                grp["buffer_bytes"] += b
+                grp["wire_bytes"] += w
                 if verbose:
                     ops.append({"computation": cname, "op": op, "group": g,
                                 "buffer_bytes": b, "wire_bytes": w})
-        return buf, wire, ops
+        return buf, wire, ops, by_group
 
-    step_buf, step_wire, step_ops = collect(sorted(reach))
-    tot_buf, tot_wire, tot_ops = collect(sorted(comps))
+    step_buf, step_wire, step_ops, step_groups = collect(sorted(reach))
+    tot_buf, tot_wire, tot_ops, tot_groups = collect(sorted(comps))
     # with a length-1 scan XLA inlines the loop body, so every collective in
     # the module executes exactly once — the module total IS the per-step
     # traffic (setup emits none; the entry's collectives are the step's)
     if step_wire == 0.0:
         attribution = "module_total (scan inlined at length 1)"
-        step_buf, step_wire, step_ops = tot_buf, tot_wire, tot_ops
+        step_buf, step_wire, step_ops, step_groups = (
+            tot_buf, tot_wire, tot_ops, tot_groups
+        )
     else:
         attribution = "while_body reachability"
     out = {
-        "per_step": {"buffer_bytes": step_buf, "wire_bytes_per_chip": step_wire},
+        "per_step": {
+            "buffer_bytes": step_buf,
+            "wire_bytes_per_chip": step_wire,
+            "by_group_size": {str(k): v for k, v in sorted(step_groups.items())},
+        },
         "module_total": {"buffer_bytes": tot_buf, "wire_bytes_per_chip": tot_wire},
         "attribution": attribution,
         "n_while_bodies": len(bodies),
@@ -251,6 +267,11 @@ def lower_step_hlo(cells, spots, genes, n_devices, mesh_kind, compute_dtype):
     devices = np.asarray(jax.devices("cpu")[:n_devices])
     if mesh_kind == "1d":
         mesh = Mesh(devices.reshape(-1), axis_names=("cell",))
+    elif mesh_kind == "multislice":
+        # the two-slice pod layout of bench.py's two_slice_projection:
+        # ("slice", "cell") with 8 chips per slice
+        mesh = Mesh(devices.reshape(n_devices // 8, 8),
+                    axis_names=("slice", "cell"))
     else:
         mesh = Mesh(devices.reshape(n_devices // 2, 2),
                     axis_names=("cell", "spot"))

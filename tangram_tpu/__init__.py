@@ -36,6 +36,7 @@ from .utils import (
     cv_data_gen,
     deconvolve_cell_annotations,
     df_to_cell_types,
+    enable_compilation_cache,
     eval_metric,
     get_matched_genes,
     one_hot_encoding,

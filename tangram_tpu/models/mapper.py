@@ -39,6 +39,7 @@ from ..ops.losses import (
     val_metrics,
 )
 from ..ops.schedules import resolve_lr
+from .. import profiling
 
 __all__ = ["Mapper", "MapperConstrained", "fit_mapping", "init_logits"]
 
@@ -773,11 +774,13 @@ class Mapper:
                 fit_mesh = fit_mapping_sharded
                 params = self.M
             if print_each is None or num_epochs == 0:
-                params, history = fit_mesh(
-                    params, self.data, self.lw, num_epochs, learning_rate,
-                    **mesh_kw,
-                )
-                history = jax.device_get(history)
+                with profiling.phase("train_dispatch"):
+                    params, history = fit_mesh(
+                        params, self.data, self.lw, num_epochs, learning_rate,
+                        **mesh_kw,
+                    )
+                with profiling.phase("train_execute_history"):
+                    history = jax.device_get(history)
             else:
                 params, history = _train_chunked(
                     lambda p, s, c, lr, e: fit_mesh(
@@ -799,7 +802,8 @@ class Mapper:
                 else:
                     training_history[k] = []
             _warn_if_diverged(training_history)
-            output = np.asarray(jax.device_get(_final_softmax(self.M)))
+            with profiling.phase("mapping_fetch"):
+                output = np.asarray(jax.device_get(_final_softmax(self.M)))
             return output, training_history
 
         common = dict(
@@ -819,11 +823,17 @@ class Mapper:
         # next to the training carry would only waste HBM (~5 GB at 50k×25k,
         # shrinking the largest single-chip-trainable shape for no benefit).
         if print_each is None or num_epochs == 0:
-            params, history = fit_mapping(
-                self.M, self.data, self.lw, num_epochs=num_epochs,
-                donate=True, **common
-            )
-            history = jax.device_get(history)
+            # dispatch blocks through trace+compile and enqueues the scan
+            # asynchronously; the history fetch then waits out device
+            # execution — so under profiling.record_phases the two phases
+            # split compile time from step time
+            with profiling.phase("train_dispatch"):
+                params, history = fit_mapping(
+                    self.M, self.data, self.lw, num_epochs=num_epochs,
+                    donate=True, **common
+                )
+            with profiling.phase("train_execute_history"):
+                history = jax.device_get(history)
         else:
             params, history = _train_chunked(
                 lambda p, s, c, lr, e: fit_mapping(
@@ -846,7 +856,8 @@ class Mapper:
                 training_history[k] = []
 
         _warn_if_diverged(training_history)
-        output = np.asarray(jax.device_get(_final_softmax(self.M)))
+        with profiling.phase("mapping_fetch"):
+            output = np.asarray(jax.device_get(_final_softmax(self.M)))
         return output, training_history
 
     def _train_early_stopped(self, num_epochs, learning_rate, print_each,
@@ -947,7 +958,8 @@ class Mapper:
             else:
                 training_history[k] = []
         _warn_if_diverged(training_history)
-        output = np.asarray(jax.device_get(_final_softmax(self.M)))
+        with profiling.phase("mapping_fetch"):
+            output = np.asarray(jax.device_get(_final_softmax(self.M)))
         return output, training_history
 
 
@@ -1118,11 +1130,13 @@ class MapperConstrained:
             if print_each is None or num_epochs == 0:
                 # donate: (M, F) are rebound to the result right after (see
                 # Mapper.train)
-                params, history = fit_mapping(
-                    (self.M, self.F), self.data, self.lw,
-                    num_epochs=num_epochs, donate=True, **common,
-                )
-                history = jax.device_get(history)
+                with profiling.phase("train_dispatch"):
+                    params, history = fit_mapping(
+                        (self.M, self.F), self.data, self.lw,
+                        num_epochs=num_epochs, donate=True, **common,
+                    )
+                with profiling.phase("train_execute_history"):
+                    history = jax.device_get(history)
             else:
                 params, history = _train_chunked(
                     lambda p, s, c, lr, e: fit_mapping(
@@ -1140,6 +1154,7 @@ class MapperConstrained:
             history, CONSTRAINED_HISTORY_KEYS, num_epochs
         )
         _warn_if_diverged(training_history)
-        output = np.asarray(jax.device_get(_final_softmax(self.M)))
+        with profiling.phase("mapping_fetch"):
+            output = np.asarray(jax.device_get(_final_softmax(self.M)))
         F_out = np.asarray(jax.device_get(jax.nn.sigmoid(self.F)))
         return output, F_out, training_history

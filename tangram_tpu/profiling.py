@@ -13,12 +13,64 @@ step, ``mapping_optimizer.py:272-307``).
 from __future__ import annotations
 
 import contextlib
+import threading
 import time
 from dataclasses import dataclass, field
 
 import numpy as np
 
-__all__ = ["trace", "annotate", "benchmark_mapping", "StepTimer"]
+__all__ = [
+    "trace",
+    "annotate",
+    "benchmark_mapping",
+    "StepTimer",
+    "record_phases",
+    "phase",
+]
+
+_PHASE_SINK = threading.local()
+
+
+@contextlib.contextmanager
+def record_phases():
+    """Collect wall-clock phase timings from library internals.
+
+    The public entry points (:func:`tangram_tpu.map_cells_to_space`,
+    ``Mapper.train``) mark their pipeline stages with :func:`phase`;
+    wrapping a call in ``record_phases`` itemizes where the wall time went
+    — trace/compile dispatch vs. device execution vs. host fetches —
+    without any internal API:
+
+    >>> with tg.profiling.record_phases() as phases:
+    ...     tg.map_cells_to_space(ad_sc, ad_sp, ...)
+    >>> phases  # {"mapper_init": 1.2, "train_dispatch": 38.5, ...}
+
+    Thread-local and reentrant (an inner recording shadows the outer for
+    its duration). When no recording is active, :func:`phase` is a no-op,
+    so instrumented library code costs nothing in normal use.
+    """
+    prev = getattr(_PHASE_SINK, "sink", None)
+    sink: dict = {}
+    _PHASE_SINK.sink = sink
+    try:
+        yield sink
+    finally:
+        _PHASE_SINK.sink = prev
+
+
+@contextlib.contextmanager
+def phase(name: str):
+    """Accumulate a named wall-clock segment into the active
+    :func:`record_phases` sink; no-op when none is active."""
+    sink = getattr(_PHASE_SINK, "sink", None)
+    if sink is None:
+        yield
+        return
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        sink[name] = sink.get(name, 0.0) + time.perf_counter() - t0
 
 
 @contextlib.contextmanager

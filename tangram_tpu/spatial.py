@@ -82,16 +82,28 @@ def spatial_neighbors(
     if coord_type is None:
         uns = getattr(adata_sp, "uns", {})
         coord_type = "grid" if "spatial" in uns else "generic"
-    if percentile is not None and coord_type != "generic":
-        raise ValueError("percentile is only valid with coord_type='generic'.")
-    if radius is not None and coord_type != "generic":
-        raise ValueError("radius is only valid with coord_type='generic'.")
+    # percentile / (rmin, rmax) radius pruning applies to euclidean edge
+    # lengths, so it's valid for the generic KNN graph and for Delaunay edges
+    # (squidpy documents percentile as the delaunay companion) — including
+    # delaunay=True on a Visium AnnData whose coord_type auto-resolved to
+    # "grid", since delaunay overrides the lattice recipe entirely
+    delaunay_active = delaunay or coord_type == "delaunay"
+    if percentile is not None and coord_type != "generic" and not delaunay_active:
+        raise ValueError(
+            "percentile is only valid with coord_type='generic' or a "
+            "Delaunay graph (delaunay=True / coord_type='delaunay')."
+        )
+    if radius is not None and coord_type != "generic" and not delaunay_active:
+        raise ValueError(
+            "radius is only valid with coord_type='generic' or a "
+            "Delaunay graph (delaunay=True / coord_type='delaunay')."
+        )
     if n_rings > 1 and coord_type != "grid":
         raise ValueError("n_rings > 1 is only valid with coord_type='grid'.")
     coords = np.asarray(adata_sp.obsm[spatial_key], dtype=np.float64)
     n = coords.shape[0]
 
-    if delaunay or coord_type == "delaunay":
+    if delaunay_active:
         from scipy.spatial import Delaunay
 
         if np.isscalar(radius) and radius is not None:

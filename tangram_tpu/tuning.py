@@ -30,6 +30,20 @@ import pandas as pd
 from . import spatial as sw
 from .utils import _SweepJournal, one_hot_encoding
 
+
+def _warn_tp_replication(shards, cell_axes, n_cells):
+    """Loud fallback when requested cell sharding can't apply (VERDICT r4
+    #8): a user who budgeted per-chip HBM for 1/shards of the per-trial
+    logits would otherwise learn about the replication only via OOM."""
+    pad = -n_cells % shards
+    logging.warning(
+        "tuner mesh requests %d-way cell sharding over axes %s but "
+        "n_cells=%d does not divide evenly; tensor parallelism degrades to "
+        "REPLICATION (each chip holds full per-trial logits + Adam moments, "
+        "%dx the sharded budget). Pad to %d cells to restore sharding.",
+        shards, cell_axes, n_cells, shards, n_cells + pad,
+    )
+
 __all__ = [
     "uniform",
     "loguniform",
@@ -732,6 +746,8 @@ def _run_population(
             M0s = _jax.device_put(
                 M0s, NamedSharding(mesh, PartitionSpec(None, spec, None))
             )
+        elif cell_axes:
+            _warn_tp_replication(shards, cell_axes, int(M0s.shape[1]))
 
     for num_epochs, idxs in by_epochs.items():
         fit_batched = setup.fit_batched(num_epochs, active)
@@ -850,6 +866,8 @@ def _run_halving(
             M0s = jax.device_put(
                 M0s, NamedSharding(mesh, PartitionSpec(None, cell_spec, None))
             )
+        elif cell_axes:
+            _warn_tp_replication(shards, cell_axes, int(M0s.shape[1]))
 
     def put(a, *tail):
         if mesh is None or a.shape[0] % trial_axis_size:

@@ -35,6 +35,7 @@ from .evaluation import (  # noqa: F401
 
 __all__ = [
     "device_memory_budget",
+    "enable_compilation_cache",
     "read_pickle",
     "annotate_gene_sparsity",
     "get_matched_genes",
@@ -165,6 +166,36 @@ def _memory_stats_with_timeout(device, timeout_s=5.0):
     t.start()
     t.join(timeout_s)
     return box.get("stats")
+
+
+def enable_compilation_cache(cache_dir=None, min_compile_time_secs=1.0):
+    """Turn on JAX's persistent XLA compilation cache.
+
+    The atlas-scale fused training step compiles in tens of seconds; with
+    the cache enabled, any repeat run at the same shapes/dtypes (re-running
+    a notebook, a CV sweep restarted after a crash, the bench harness) loads
+    the compiled executable from disk instead. Safe to call more than once.
+
+    ``cache_dir`` defaults to ``$TANGRAM_COMPILE_CACHE`` or
+    ``~/.cache/tangram_tpu/xla``. Programs faster than
+    ``min_compile_time_secs`` to compile are not persisted (they are cheaper
+    to recompile than to hash and load).
+    """
+    import os
+
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.environ.get("TANGRAM_COMPILE_CACHE") or os.path.join(
+            os.path.expanduser("~"), ".cache", "tangram_tpu", "xla"
+        )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs",
+        float(min_compile_time_secs),
+    )
+    return cache_dir
 
 
 def read_pickle(filename):

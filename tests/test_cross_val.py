@@ -230,3 +230,29 @@ def test_projected_expression_sharded_M(rng):
     )
     out = projected_expression(M_sh, X)
     np.testing.assert_allclose(out, M.T @ X, rtol=1e-5, atol=1e-5)
+
+
+def test_cross_val_tp_fallback_warns(cv_adatas, caplog):
+    """When the mesh requests cell sharding but n_cells does not divide the
+    cell-shard count, TP degrades to replication — LOUDLY (VERDICT r4 #8:
+    at pod scale a silent fallback means 8x the budgeted per-chip HBM,
+    discovered via OOM)."""
+    import logging
+
+    import jax
+    from jax.sharding import Mesh
+
+    ad_sc, ad_sp = cv_adatas  # 30 cells: not divisible by 4
+    mesh = Mesh(
+        np.asarray(jax.devices()[:8]).reshape(2, 4), axis_names=("fold", "cell")
+    )
+    with caplog.at_level(logging.WARNING):
+        tg.cross_val(
+            ad_sc, ad_sp, mode="cells", cv_mode="10fold", num_epochs=2,
+            random_state=1, verbose=False, fold_batch_size=8, mesh=mesh,
+        )
+    msgs = [r.message for r in caplog.records if "REPLICATION" in r.message]
+    assert msgs, "expected a TP-replication warning"
+    assert "4-way" in msgs[0] and "n_cells=30" in msgs[0]
+    # padded remedy is stated: 30 -> 32
+    assert "32" in msgs[0]

@@ -673,3 +673,30 @@ def test_tuner_accepts_ray_shaped_search_space(tuner_adatas):
     assert set(df["config/num_epochs"]).issubset({4, 6})
     assert ((df["config/learning_rate"] >= 0.05)
             & (df["config/learning_rate"] <= 0.2)).all()
+
+
+def test_tuner_tp_fallback_warns(tuner_adatas, caplog):
+    """Mesh requests cell sharding the cluster count can't divide: the tuner
+    must warn about the replication fallback instead of silently holding
+    full per-trial logits on every chip (VERDICT r4 #8)."""
+    import logging
+
+    import jax
+    from jax.sharding import Mesh
+
+    ad_sc, ad_sp = tuner_adatas  # 3 clusters: not divisible by 4
+    space = {"lambda_g1": 1.0, "lambda_d": tuning.uniform(0.1, 1.0),
+             "num_epochs": 5}
+    mesh = Mesh(
+        np.asarray(jax.devices()[:8]).reshape(2, 4), axis_names=("trial", "cell")
+    )
+    with caplog.at_level(logging.WARNING):
+        tg.mapping_hyperparameter_tuning(
+            ad_sc, ad_sp, metric=["gene_expr_correctness"], config=space,
+            tuner_num_samples=4, cluster_label="subclass_label",
+            density_prior="uniform", random_state=3, mesh=mesh,
+            population_batch_size=4,
+        )
+    msgs = [r.message for r in caplog.records if "REPLICATION" in r.message]
+    assert msgs, "expected a TP-replication warning"
+    assert "4-way" in msgs[0]
