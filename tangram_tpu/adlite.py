@@ -502,6 +502,7 @@ def _write_elem(group, key, value, compression=None):
     if isinstance(value, (bool, np.bool_)):
         ds = group.create_dataset(key, data=np.uint8(value))
         ds.attrs["encoding-type"] = "numeric-scalar"
+        ds.attrs["encoding-version"] = "0.2.0"
         return
 
     if isinstance(value, (int, float, np.integer, np.floating)):

@@ -29,6 +29,13 @@ Two mesh layouts:
   kernel-carried norm rowstats (one scalar psum each over the whole mesh);
   the kernels' PAD_GUARD keeps the −1e30 spot-pad sentinels out of the norm
   sums and their gradients.
+* **("slice", "cell", "spot")** — the 2-D layout across a multi-slice pod,
+  for jobs whose cell-rows outgrow a chip AND span slices: cells shard over
+  the ("slice", "cell") product axis, spots within slices. Identical step;
+  the cell-axis psums run over the product axis so XLA lowers each to an
+  in-slice ICI reduce plus a cross-slice DCN reduce (per-chip DCN traffic:
+  the in-slice-scattered 1/chips_per_slice share of the (spots × genes)
+  buffer — see bench.py's hierarchical decomposition).
 
 Cell and spot counts need not divide the mesh: inputs are zero-padded (M spot
 padding uses −1e30 logits so padded spots carry exactly zero probability) and
@@ -251,8 +258,13 @@ def _merge_rowstats(m_l, l_l, u_l, axis):
 
 def _grid_step(M, F, count, mu, nu, muF, nuF, stats_l, S_local, ct_local,
                w_local, cvalid, data_repl, lw, learning_rate, compute_dtype,
-               n_spots_real, constrained, rounding="nearest"):
+               n_spots_real, constrained, rounding="nearest",
+               cell_axes=("cell",)):
     """One fused Adam step on a (cell, spot) block shard.
+
+    ``cell_axes`` is the tuple of mesh axes the cell dimension shards over —
+    ("cell",) on a single slice, ("slice", "cell") on a multi-slice pod
+    (cell-axis psums then cross DCN on their "slice" dimension).
 
     The softmax stats are merged across spot shards; the (spots × k)
     projection is psum'd over the cell axis, all-gathered over the spot axis
@@ -285,23 +297,23 @@ def _grid_step(M, F, count, mu, nu, muF, nuF, stats_l, S_local, ct_local,
         # per-shard |M| / M² row sums (sentinel pad entries excluded by the
         # kernels' PAD_GUARD); one scalar psum each over the whole mesh
         m_l, l_l, u_l, s1_l, s2_l = stats_l
-        l1_sum = jax.lax.psum(jnp.sum(s1_l), ("cell", "spot"))
-        l2_sum = jax.lax.psum(jnp.sum(s2_l), ("cell", "spot"))
+        l1_sum = jax.lax.psum(jnp.sum(s1_l), tuple(cell_axes) + ("spot",))
+        l2_sum = jax.lax.psum(jnp.sum(s2_l), tuple(cell_axes) + ("spot",))
         m, l, u = _merge_rowstats(m_l, l_l, u_l, "spot")
     else:
         l1_sum = l2_sum = None
         m, l, u = _merge_rowstats(*stats_l, "spot")
     Y_partial, q_partial = _project(M, A_p, w, m, l)
-    Y_shard = jax.lax.psum(Y_partial, "cell")
-    q_shard = jax.lax.psum(q_partial, "cell")
+    Y_shard = jax.lax.psum(Y_partial, cell_axes)
+    q_shard = jax.lax.psum(q_partial, cell_axes)
     Y_full = jax.lax.all_gather(Y_shard, "spot", axis=0, tiled=True)[:n_spots_real]
     q_full = jax.lax.all_gather(q_shard, "spot", axis=0, tiled=True)[:n_spots_real]
 
     h = (u[:, 0] / l[:, 0]) - m[:, 0] - jnp.log(l[:, 0])
-    h_sum = jax.lax.psum(jnp.sum(h * cvalid), "cell")
+    h_sum = jax.lax.psum(jnp.sum(h * cvalid), cell_axes)
 
     if constrained:
-        s1, s2 = _constrained_f_sums(w_raw, cvalid, "cell")
+        s1, s2 = _constrained_f_sums(w_raw, cvalid, cell_axes)
 
         def epi(Yf, qf, hs, a, b):
             return constrained_epilogue(
@@ -434,16 +446,13 @@ def fit_mapping_fused_sharded(
     val = dict(val_data=val_data, val_each=val_each, donate=donate,
                step_offset=int(step_offset), rounding=rounding)
     if "spot" in mesh.axis_names and mesh.shape["spot"] > 1:
-        if "slice" in mesh.axis_names:
-            raise NotImplementedError(
-                "multi-slice meshes compose with 1-D cell sharding only "
-                '(axis_names ("slice", "cell")); 2-D spot sharding within '
-                "slices is not implemented"
-            )
+        cell_axes = (
+            ("slice", "cell") if "slice" in mesh.axis_names else ("cell",)
+        )
         return _fit_2d(params, data, lw, num_epochs, learning_rate, mesh,
                        moment_dtype, compute_dtype, constrained,
                        opt_state=opt_state, return_opt_state=return_opt_state,
-                       **val)
+                       cell_axes=cell_axes, **val)
 
     # multi-slice pod: a ("slice", "cell") mesh shards cells over the
     # product axis — DCN rides the "slice" dimension of every psum
@@ -719,10 +728,19 @@ def _fit_1d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
 def _fit_2d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
             compute_dtype, constrained, opt_state=None,
             return_opt_state=False, val_data=None, val_each=None,
-            donate=False, step_offset=0, rounding="nearest"):
+            donate=False, step_offset=0, rounding="nearest",
+            cell_axes=("cell",)):
+    # ``cell_axes`` — mesh axes the cell dimension shards over: ("cell",)
+    # within one slice, ("slice", "cell") on a multi-slice pod (the one
+    # layout needed when a cell-row of M outgrows a chip AND the job spans
+    # slices; cell-axis psums then cross DCN on their slice dimension)
     constr = constrained
     M0 = params[0] if constr else params
-    cshards, sshards = mesh.shape["cell"], mesh.shape["spot"]
+    cell_axes = tuple(cell_axes)
+    cspec = cell_axes[0] if len(cell_axes) == 1 else cell_axes
+    caxis = cell_axes[0] if len(cell_axes) == 1 else cell_axes
+    cshards = int(np.prod([mesh.shape[a] for a in cell_axes]))
+    sshards = mesh.shape["spot"]
     n_cells, n_spots = M0.shape
     c_pad = -(-n_cells // cshards) * cshards
     s_pad = -(-n_spots // sshards) * sshards
@@ -744,11 +762,11 @@ def _fit_2d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
     def ns(*spec):
         return NamedSharding(mesh, P(*spec))
 
-    M0 = jax.device_put(M0, ns("cell", "spot"))
-    S = jax.device_put(S, ns("cell", None))
-    ct = None if ct is None else jax.device_put(ct, ns("cell", None))
-    w_full = jax.device_put(w_full, ns("cell"))
-    F0 = None if F0 is None else jax.device_put(F0, ns("cell"))
+    M0 = jax.device_put(M0, ns(cspec, "spot"))
+    S = jax.device_put(S, ns(cspec, None))
+    ct = None if ct is None else jax.device_put(ct, ns(cspec, None))
+    w_full = jax.device_put(w_full, ns(cspec))
+    F0 = None if F0 is None else jax.device_put(F0, ns(cspec))
     # G, d, gene_mask, spot graphs and autocorrelation refs stay REPLICATED:
     # they are O(spots × genes) — tiny next to M — and the full epilogue
     # consumes them whole after the spot-axis all-gather of the projection.
@@ -769,7 +787,7 @@ def _fit_2d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
         val_each = int(val_each)
         valS = jax.device_put(
             _pad_axis(jnp.asarray(val_data.S, jnp.float32), 0, c_pad),
-            ns("cell", None),
+            ns(cspec, None),
         )
         valG = jax.device_put(jnp.asarray(val_data.G, jnp.float32), ns())
 
@@ -781,9 +799,9 @@ def _fit_2d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
         extra_args.append(arr)
 
     if ct is not None:
-        add_extra("ct", P("cell", None), ct)
+        add_extra("ct", P(cspec, None), ct)
     if constr:
-        add_extra("F", P("cell"), F0)
+        add_extra("F", P(cspec), F0)
 
     if constr:
         count0, (mu0, nu0, muF0, nuF0) = _opt_arrays(
@@ -798,16 +816,16 @@ def _fit_2d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
             [[(0, c_pad), (1, s_pad)]] * 2,
         )
         muF0 = nuF0 = None
-    mu0 = jax.device_put(mu0, ns("cell", "spot"))
-    nu0 = jax.device_put(nu0, ns("cell", "spot"))
+    mu0 = jax.device_put(mu0, ns(cspec, "spot"))
+    nu0 = jax.device_put(nu0, ns(cspec, "spot"))
     count0 = jax.device_put(count0, ns())
-    muF0 = None if muF0 is None else jax.device_put(muF0, ns("cell"))
-    nuF0 = None if nuF0 is None else jax.device_put(nuF0, ns("cell"))
+    muF0 = None if muF0 is None else jax.device_put(muF0, ns(cspec))
+    nuF0 = None if nuF0 is None else jax.device_put(nuF0, ns(cspec))
     if constr:
-        add_extra("muF", P("cell"), muF0)
-        add_extra("nuF", P("cell"), nuF0)
+        add_extra("muF", P(cspec), muF0)
+        add_extra("nuF", P(cspec), nuF0)
     if with_val:
-        add_extra("valS", P("cell", None), valS)
+        add_extra("valS", P(cspec, None), valS)
         add_extra("valG", P(), valG)
 
     lr_vec = None
@@ -835,7 +853,7 @@ def _fit_2d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
             F_l, muF, nuF = ex["F"], ex["muF"], ex["nuF"]
         if with_val:
             valS_l, valG_l = ex["valS"], ex["valG"]
-        cvalid = _cell_validity(M_local.shape[0], n_cells, "cell")
+        cvalid = _cell_validity(M_local.shape[0], n_cells, caxis)
         stats_l = (
             tuple(_rowstats_norms(M_local)) if need_norms
             else tuple(_rowstats(M_local))
@@ -848,12 +866,12 @@ def _fit_2d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
             g_val = valG_l.shape[1]
             valS_p = _pad_k(valS_l).astype(compute_dtype)
             Y_part, _ = _project(M, valS_p, w_local, m, l)
-            Y_shard = jax.lax.psum(Y_part, "cell")
+            Y_shard = jax.lax.psum(Y_part, cell_axes)
             Y = jax.lax.all_gather(
                 Y_shard, "spot", axis=0, tiled=True
             )[:n_spots, :g_val]
             h = ((u[:, 0] / l[:, 0]) - m[:, 0] - jnp.log(l[:, 0])) * cvalid
-            h_mean = jax.lax.psum(jnp.sum(h), "cell") / n_cells
+            h_mean = jax.lax.psum(jnp.sum(h), cell_axes) / n_cells
             return val_metrics_from_projection(Y, valG_l, h_mean, n_spots)
 
         def maybe_val(t, M, stats_l_new):
@@ -872,6 +890,7 @@ def _fit_2d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
                     M, F, count, mu, nu, muF, nuF, stats_l, S_local, ct_l,
                     w_local, cvalid, data_local, lw, lr_at(t),
                     compute_dtype, n_spots, True, rounding=rounding,
+                    cell_axes=cell_axes,
                 )
 
             (M_f, F_f, count_f, mu_f, nu_f, muF_f, nuF_f, _), history = (
@@ -892,6 +911,7 @@ def _fit_2d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
                 M, None, count, mu, nu, None, None, stats_l, S_local, ct_l,
                 w_local, cvalid, data_local, lw, lr_at(t),
                 compute_dtype, n_spots, False, rounding=rounding,
+                cell_axes=cell_axes,
             )
             if with_val:
                 terms = {**terms, **maybe_val(t, new_carry[0], new_carry[4])}
@@ -904,7 +924,7 @@ def _fit_2d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
         )
         return M_f, count_f, mu_f, nu_f, history
 
-    block, vec = P("cell", "spot"), P("cell")
+    block, vec = P(cspec, "spot"), P(cspec)
     out_specs = (
         (block, vec, P(), block, block, vec, vec, P()) if constr
         else (block, P(), block, block, P())
@@ -912,7 +932,7 @@ def _fit_2d(params, data, lw, num_epochs, learning_rate, mesh, moment_dtype,
     sharded = _shard_map(
         run,
         mesh,
-        in_specs=(block, P("cell", None), vec, data_specs, P(), block, block)
+        in_specs=(block, P(cspec, None), vec, data_specs, P(), block, block)
         + tuple(extra_specs),
         out_specs=out_specs,
     )

@@ -704,11 +704,69 @@ def test_fused_sharded_multislice_constrained(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
 
 
-def test_multislice_rejects_2d_spot_mesh():
+def test_fused_sharded_multislice_2d_matches_single_device(rng):
+    """("slice", "cell", "spot") mesh — the 2-D block layout across a
+    2-slice pod (cells shard over the slice×cell product axis, spots within
+    slices): the one envelope edge round 4 left unimplemented. Cell AND
+    spot counts chosen to NOT divide their shards, so the padding paths are
+    exercised too."""
+    lw = LossWeights(lambda_g1=1.0, lambda_d=1.0, lambda_r=0.01)
+    M0, data = make_problem(rng, c=50, s=21, g=10)  # pads: 50→52 cells, 21→22 spots
+    p_ref, h_ref = fit_mapping(M0, data, lw, 15, 0.1, impl="pallas", fused=True)
+
     mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 2, 2),
                 axis_names=("slice", "cell", "spot"))
-    lw = LossWeights(lambda_g1=1.0)
-    M0, data = make_problem(np.random.default_rng(0), c=16, s=8, g=4,
-                            with_d=False)
-    with pytest.raises(NotImplementedError):
-        fit_mapping_fused_sharded(M0, data, lw, 2, 0.1, mesh=mesh)
+    p_sh, h_sh = fit_mapping_fused_sharded(M0, data, lw, 15, 0.1, mesh=mesh)
+
+    np.testing.assert_allclose(
+        np.asarray(h_sh["total_loss"]), np.asarray(h_ref["total_loss"]),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(np.asarray(p_sh), np.asarray(p_ref), atol=2e-4)
+
+
+def test_fused_sharded_multislice_2d_constrained(rng):
+    """Constrained (M, F) over the ("slice", "cell", "spot") mesh."""
+    lw = LossWeights(lambda_g1=1.0, lambda_d=1.0, lambda_count=1.0,
+                     lambda_f_reg=1.0)
+    M0, data = make_problem(rng, c=48, s=20, g=8)
+    data = data._replace(target_count=jnp.float32(15.0))
+    F0 = jnp.asarray(np.random.default_rng(3).normal(size=48), jnp.float32)
+
+    p_ref, h_ref = fit_mapping((M0, F0), data, lw, 12, 0.1, constrained=True,
+                               impl="pallas", fused=True)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 2, 2),
+                axis_names=("slice", "cell", "spot"))
+    p_sh, h_sh = fit_mapping_fused_sharded((M0, F0), data, lw, 12, 0.1,
+                                           mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(h_sh["total_loss"]), np.asarray(h_ref["total_loss"]),
+        rtol=1e-4, atol=1e-5,
+    )
+    for a, b in zip(p_sh, p_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+
+
+def test_fused_sharded_multislice_2d_l1_l2_and_val(rng):
+    """L1/L2 norm psums (whole-mesh scalar reductions) and the val-metric
+    collectives both run over the slice×cell product axis."""
+    lw = LossWeights(lambda_g1=1.0, lambda_l1=0.01, lambda_l2=0.005)
+    M0, data = make_problem(rng, c=40, s=20, g=10, with_d=False)
+    val = MapperData(S=data.S, G=data.G)
+    p_ref, h_ref = fit_mapping(M0, data, lw, 10, 0.1, impl="pallas",
+                               fused=True, with_val=True, val_data=val,
+                               val_each=5)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 2, 2),
+                axis_names=("slice", "cell", "spot"))
+    p_sh, h_sh = fit_mapping_fused_sharded(M0, data, lw, 10, 0.1, mesh=mesh,
+                                           val_data=val, val_each=5)
+    np.testing.assert_allclose(
+        np.asarray(h_sh["total_loss"]), np.asarray(h_ref["total_loss"]),
+        rtol=1e-4, atol=1e-5,
+    )
+    vg = np.asarray(h_sh["val_gene_sim"])
+    vg_ref = np.asarray(h_ref["val_gene_sim"])
+    np.testing.assert_allclose(
+        vg[~np.isnan(vg)], vg_ref[~np.isnan(vg_ref)], rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(p_sh), np.asarray(p_ref), atol=2e-4)
