@@ -312,7 +312,7 @@ def _nb_matched_block(kwargs, epochs=EPOCHS):
     ]
     del params, data, M0
     gc.collect()
-    return {
+    out = {
         "data": "synthetic-nb-matched",
         "generator": "tangram_tpu.datasets.synthetic_mapping_pair "
                      "(NB counts, lognormal gene means, snRNA zero "
@@ -323,6 +323,43 @@ def _nb_matched_block(kwargs, epochs=EPOCHS):
         "seconds_to_loss_parity": round(parity_epoch * elapsed / epochs, 3),
         "annotation_recovery_median_corr": round(float(np.median(corrs)), 3),
         "annotation_recovery_mean_corr": round(float(np.mean(corrs)), 3),
+    }
+    out.update(_nb_reference_sidebyside())
+    return out
+
+
+def _nb_reference_sidebyside():
+    """Attach the committed torch-reference side-by-side (VERDICT r4 #3:
+    the NB-matched accuracy numbers previously had no reference run beside
+    them). Produced offline by scripts/nb_reference_sidebyside.py — the
+    reference optimizer imported live from /root/reference, run on the
+    identical fixtures — and committed as data/NB_REFERENCE_TORCH.json."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "data", "NB_REFERENCE_TORCH.json")
+    try:
+        with open(path) as f:
+            ref = json.load(f)
+    except (OSError, ValueError):
+        return {"reference_torch": "not recorded (run "
+                                   "scripts/nb_reference_sidebyside.py)"}
+    verdict = []
+    loo = ref.get("loo_cv", {})
+    if isinstance(loo, dict) and "reference_torch_avg_test_score" in loo:
+        dt = (loo["rebuild_avg_test_score_same_folds"]
+              - loo["reference_torch_avg_test_score"])
+        verdict.append(
+            f"LOO test score delta {dt:+.4f} over "
+            f"{loo['n_folds_compared']} shared folds"
+        )
+    ann = ref.get("annotation_recovery", {})
+    if isinstance(ann, dict) and "recovery_median_delta" in ann:
+        verdict.append(
+            f"annotation-recovery median delta "
+            f"{ann['recovery_median_delta']:+.3f} (identical init)"
+        )
+    return {
+        "reference_torch": ref,
+        "parity_verdict": "; ".join(verdict) if verdict else "incomplete",
     }
 
 

@@ -62,9 +62,13 @@ def _cosine_per_gene(A, B):
     return num / np.maximum(den, 1e-30)
 
 
-def loo_leg(ref, fold_stride=10, num_epochs=1000):
+def loo_leg(ref, fold_stride=10, num_epochs=1000, flush_partial=None):
     """Clusters-mode LOO on the bench's nb_matched CV fixture: torch on a
-    fold subset, the rebuild's batched LOO restricted to the same subset."""
+    fold subset, the rebuild's batched LOO restricted to the same subset.
+
+    ``flush_partial(partial_dict)``, when given, is called after every torch
+    fold so a killed run keeps all folds completed so far (single-CPU box:
+    the torch loop dominates the wall time)."""
     import tangram_tpu as tg
     from tangram_tpu.datasets import synthetic_mapping_pair
     from tangram_tpu.mapping import adata_to_cluster_expression
@@ -99,7 +103,44 @@ def loo_leg(ref, fold_stride=10, num_epochs=1000):
     subset = list(range(0, len(training_genes), fold_stride))
     torch_scores = {}
     t0 = time.perf_counter()
-    for j in subset:
+
+    def summarize(done):
+        subset_genes = [training_genes[j] for j in done]
+        jax_subset = [
+            float(test_gene_df.loc[g, "score"]) for g in subset_genes
+        ]
+        torch_subset = [torch_scores[g] for g in subset_genes]
+        per_gene_delta = np.asarray(jax_subset) - np.asarray(torch_subset)
+        return {
+            "fixture": "synthetic_mapping_pair(1320 cells, 9852 spots, 249 "
+                       "genes, 22 types, random_state=5), clusters LOO, "
+                       f"{num_epochs} epochs lr=0.1 seed=42",
+            "n_folds_compared": len(done),
+            "n_folds_planned": len(subset),
+            "fold_stride": fold_stride,
+            "reference_torch_avg_test_score": round(
+                float(np.mean(torch_subset)), 4
+            ),
+            "rebuild_avg_test_score_same_folds": round(
+                float(np.mean(jax_subset)), 4
+            ),
+            "rebuild_avg_test_score_all_folds": round(
+                float(cv_dict["avg_test_score"]), 4
+            ),
+            "per_gene_abs_delta_max": round(
+                float(np.abs(per_gene_delta).max()), 4
+            ),
+            "per_gene_delta_mean": round(float(per_gene_delta.mean()), 4),
+            "reference_torch_seconds_subset_cpu": round(
+                time.perf_counter() - t0, 1
+            ),
+            "rebuild_seconds_all_folds": round(jax_seconds, 1),
+        }
+
+    for n_done, j in enumerate(subset):
+        print(f"torch LOO fold {n_done + 1}/{len(subset)} "
+              f"(gene {training_genes[j]}), "
+              f"{time.perf_counter() - t0:.0f}s elapsed", flush=True)
         train_idx = [i for i in range(len(training_genes)) if i != j]
         mapper = ref.Mapper(
             S=S[:, train_idx], G=G[:, train_idx],
@@ -113,28 +154,10 @@ def loo_leg(ref, fold_stride=10, num_epochs=1000):
         G_pred = M_probs.T @ S  # all genes, like reference project_genes
         score = _cosine_per_gene(G_pred[:, [j]], G[:, [j]])[0]
         torch_scores[training_genes[j]] = float(score)
-    torch_seconds = time.perf_counter() - t0
+        if flush_partial is not None:
+            flush_partial(summarize(subset[: n_done + 1]))
 
-    subset_genes = [training_genes[j] for j in subset]
-    jax_subset = [float(test_gene_df.loc[g, "score"]) for g in subset_genes]
-    torch_subset = [torch_scores[g] for g in subset_genes]
-    per_gene_delta = np.asarray(jax_subset) - np.asarray(torch_subset)
-    return {
-        "fixture": "synthetic_mapping_pair(1320 cells, 9852 spots, 249 "
-                   "genes, 22 types, random_state=5), clusters LOO, "
-                   f"{num_epochs} epochs lr=0.1 seed=42",
-        "n_folds_compared": len(subset),
-        "fold_stride": fold_stride,
-        "reference_torch_avg_test_score": round(float(np.mean(torch_subset)), 4),
-        "rebuild_avg_test_score_same_folds": round(float(np.mean(jax_subset)), 4),
-        "rebuild_avg_test_score_all_folds": round(
-            float(cv_dict["avg_test_score"]), 4
-        ),
-        "per_gene_abs_delta_max": round(float(np.abs(per_gene_delta).max()), 4),
-        "per_gene_delta_mean": round(float(per_gene_delta.mean()), 4),
-        "reference_torch_seconds_subset_cpu": round(torch_seconds, 1),
-        "rebuild_seconds_all_folds": round(jax_seconds, 1),
-    }
+    return summarize(subset)
 
 
 def annotation_leg(ref, n_cells=2_600, num_epochs=1000):
@@ -234,13 +257,35 @@ def main():
                    "reference's published hardware was a GPU — timing "
                    "columns are not a speed comparison, the score columns "
                    "are the point)",
-        "loo_cv": loo_leg(ref, args.fold_stride, args.epochs),
-        "annotation_recovery": annotation_leg(ref, num_epochs=args.epochs),
-        "recorded_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
-    with open(args.out, "w") as f:
-        json.dump(result, f, indent=1)
-        f.write("\n")
+
+    def flush_partial():
+        result["recorded_utc"] = time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+        )
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+            f.write("\n")
+
+    # annotation leg first (shorter); flush after each leg so a killed run
+    # keeps everything completed so far
+    print("=== annotation-recovery leg ===", flush=True)
+    result["annotation_recovery"] = annotation_leg(ref, num_epochs=args.epochs)
+    flush_partial()
+    print(json.dumps(result["annotation_recovery"], indent=1), flush=True)
+
+    print("=== LOO leg ===", flush=True)
+
+    def per_fold(partial):
+        partial["partial"] = True
+        result["loo_cv"] = partial
+        flush_partial()
+
+    result["loo_cv"] = loo_leg(
+        ref, args.fold_stride, args.epochs, flush_partial=per_fold
+    )
+    result["loo_cv"].pop("partial", None)
+    flush_partial()
     print(json.dumps(result, indent=1))
     return 0
 

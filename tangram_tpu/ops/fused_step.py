@@ -119,6 +119,13 @@ def _rowstats_norms(M):
 # ---------------------------------------------------------------------------
 
 
+def _pick_adam_ts(param_bytes: int = 4) -> int:
+    """Spot-tile width for the Adam kernel (placeholder for the bf16 tile
+    sweep; see scripts/adam_tile_sweep.py)."""
+    del param_bytes
+    return TS
+
+
 def _pick_adam_tc(ts: int, k: int, moment_bytes: int, compute_bytes: int,
                   param_bytes: int = 4) -> int:
     """Largest cell-tile that keeps the Adam kernel inside scoped VMEM.
@@ -273,18 +280,24 @@ def _dm_adam_kernel(
 
 
 def _dm_adam(M, A, w, m, l, dY, dq, dh, r, mu, nu, scalars, lam_l1, lam_l2,
-             with_norms: bool, sr: bool = False, with_dh: bool = True):
+             with_norms: bool, sr: bool = False, with_dh: bool = True,
+             ts: int = None, tc: int = None):
     """Backward + Adam + next-step rowstats, one streamed pass.
 
     Returns (M_new, mu_new, nu_new, m', l', u'[, s1', s2']) where the primed
     values are the softmax stats (and optional L1/L2 norms) of M_new, so the
     next step skips its standalone rowstats pass entirely.
+
+    ``ts``/``tc`` override the spot/cell tile sizes (the tile-sweep probe
+    uses them; production callers take the calibrated defaults).
     """
     c, s = M.shape
     k = A.shape[1]
-    ts = TS
-    tc = _pick_adam_tc(ts, k, mu.dtype.itemsize, A.dtype.itemsize,
-                       M.dtype.itemsize)
+    if ts is None:
+        ts = _pick_adam_ts(M.dtype.itemsize)
+    if tc is None:
+        tc = _pick_adam_tc(ts, k, mu.dtype.itemsize, A.dtype.itemsize,
+                           M.dtype.itemsize)
     grid = (pl.cdiv(c, tc), pl.cdiv(s, ts))
 
     big = lambda i, j: (i, j)  # noqa: E731

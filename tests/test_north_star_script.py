@@ -133,3 +133,52 @@ ENTRY %main (a: f32[8,4]) -> f32[8,4] {
         sync["module_total"]["wire_bytes_per_chip"]
         == res["module_total"]["wire_bytes_per_chip"]
     )
+
+
+def test_bench_headline_round_trips():
+    """The driver captures only the tail of bench stdout, so the final line
+    must be a SHORT self-contained JSON (VERDICT r4 #5: two rounds of
+    BENCH_r{N}.json were unparseable after the full record outgrew the
+    2000-char capture). Pin the contract on the committed TPU record."""
+    import importlib.util
+    import json
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(repo, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    sys.modules["bench_mod"] = bench
+    spec.loader.exec_module(bench)
+
+    with open(os.path.join(repo, "BENCH_LAST_TPU.json")) as f:
+        record = json.load(f)
+    head = bench._headline(record)
+    line = json.dumps(head)
+    assert len(line) <= 1500
+    # driver contract keys
+    for key in ("metric", "value", "unit", "vs_baseline"):
+        assert key in head, key
+    # and it must round-trip
+    assert json.loads(line) == head
+
+
+def test_bench_headline_minimal_record():
+    """A CPU-projected record missing every optional section still yields a
+    valid headline."""
+    import importlib.util
+    import json
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod2", os.path.join(repo, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    sys.modules["bench_mod2"] = bench
+    spec.loader.exec_module(bench)
+
+    head = bench._headline({
+        "metric": "m", "value": 1.0, "unit": "s", "vs_baseline": 2.0,
+        "nb_matched": "failed: X", "roofline": "failed: Y",
+    })
+    assert json.loads(json.dumps(head))["metric"] == "m"
