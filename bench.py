@@ -75,34 +75,47 @@ def ici_psum_ms(wire_bytes, n_chips=8, n_collectives=2):
 
 
 def measure_peak_gbps():
-    """Measured HBM copy bandwidth (read+write) via slope timing.
+    """Measured HBM copy bandwidth (read+write) via lax.scan slope timing.
 
     On this tunneled backend ``block_until_ready`` returns before device
     execution completes and each host fetch carries ~24 ms of RPC latency,
-    so a single timed call is meaningless: time chains of n1 / n2 dependent
-    copies ending in one scalar fetch and take the marginal cost."""
+    so a single timed call is meaningless. The copies are chained inside a
+    compiled ``lax.scan`` (one dispatch + one scalar fetch per measurement)
+    — the SAME methodology every kernel step-time in this file uses — so
+    the roofline fractions compare like with like. The earlier python-loop
+    variant (25 dispatched jit calls) was host-dispatch-sensitive: under
+    CPU contention it read 10-15% low while scan-slope kernel times held,
+    silently inflating every fraction-of-peak (measured side by side
+    2026-08-19: pyloop 632-667 GB/s spread vs scan 649-662 on one box)."""
     import time as _time
 
     import jax
     import jax.numpy as jnp
 
     x = jnp.ones((512 * 1024, 1024), jnp.float32)  # 2 GB
-    f = jax.jit(lambda x: x + 1.0)
-    g = jax.jit(lambda x: x[0, 0])
-    float(g(f(x)))
+
+    def runner(n):
+        @jax.jit
+        def run(x):
+            out, _ = jax.lax.scan(
+                lambda c, _: (c + 1.0, None), x, None, length=n
+            )
+            return out[0, 0]
+        return run
+
+    runs = {n: runner(n) for n in (4, 20)}
+    for n in runs:
+        float(runs[n](x))  # compile
     best = 0.0
-    # the slope itself jitters ~ +-8% run to run through the tunnel; the
-    # peak is the best observed, so repeat and take the max
+    # the slope still jitters run to run through the tunnel; the peak is
+    # the best observed, so repeat and take the max
     for _ in range(3):
-        ts = []
-        for n in (5, 25):
-            y = x
+        ts = {}
+        for n in (4, 20):
             t0 = _time.perf_counter()
-            for _ in range(n):
-                y = f(y)
-            float(g(y))
-            ts.append(_time.perf_counter() - t0)
-        ms = (ts[1] - ts[0]) / 20 * 1e3
+            float(runs[n](x))
+            ts[n] = _time.perf_counter() - t0
+        ms = (ts[20] - ts[4]) / 16 * 1e3
         best = max(best, 2 * x.nbytes / ms / 1e6)
     return best
 
@@ -1059,15 +1072,16 @@ def main():
                 "fraction_of_peak": round(
                     b_shard / 1e9 / shard_ms_bf16 * 1e3 / peak, 3
                 ),
-                "note": "below-0.85 cause, measured: the Adam tile is "
-                        "already at its optimum (tc 512/384/256 probed "
-                        "within 2%), the copy peak is dtype-independent "
-                        "(f32/bf16 measured equal), and the slope-timed "
-                        "peak itself varies ~ +-8% run to run through the "
-                        "tunnel; at half the bytes per tile the kernels' "
-                        "in-tile VPU work (exp, Adam update) is no longer "
-                        "fully hidden behind the DMA streams, which bounds "
-                        "the bf16 leg slightly below the f32 fraction",
+                "note": "tile space exhausted (scripts/adam_tile_sweep.py, "
+                        "2026-08-19): (ts, tc) swept over "
+                        "{768,2048,2560,3072}x{128..384} at this exact "
+                        "shape — best config (ts=3072, tc=128) beats the "
+                        "default by 4.6% at the kernel level but the FULL "
+                        "step is tile-invariant (18.85-18.97 ms across all "
+                        "overrides; ts=4096 exceeds scoped VMEM). The "
+                        "residual gap vs f32 is structural VPU work (exp "
+                        "recompute + Adam elementwise) that half-width DMA "
+                        "no longer hides, not a tile choice",
             }
             # epochs-to-parity measured on the tutorial problem above; the
             # parity fraction is a property of the optimization schedule,

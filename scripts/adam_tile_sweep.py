@@ -201,7 +201,7 @@ if __name__ == "__main__":
     peak = measure_peak_gbps()
     print(f"peak copy bandwidth (slope): {peak:.1f} GB/s", flush=True)
     if "--full-step" in sys.argv:
-        for ts_o in (None, 1536, 2048, 2560):
+        for ts_o in (None, 2048, 2560, 3072):
             full_step_probe(peak=peak, ts_override=ts_o)
     else:
         sweep(peak=peak)

@@ -120,8 +120,14 @@ def _rowstats_norms(M):
 
 
 def _pick_adam_ts(param_bytes: int = 4) -> int:
-    """Spot-tile width for the Adam kernel (placeholder for the bf16 tile
-    sweep; see scripts/adam_tile_sweep.py)."""
+    """Spot-tile width for the Adam kernel.
+
+    Swept on v5e at the bf16 north-star shard (scripts/adam_tile_sweep.py,
+    2026-08-19): wider spot tiles (ts=3072, tc=128) beat the default by
+    4.6% at the isolated-kernel level, but the full training step is
+    tile-invariant (18.85-18.97 ms across ts in {768, 2048, 2560, 3072}),
+    so the default stays — the step's bf16 bound is structural VPU work,
+    not tile choice. ts=4096 exceeds scoped VMEM and fails to compile."""
     del param_bytes
     return TS
 
