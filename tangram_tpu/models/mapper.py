@@ -41,7 +41,8 @@ from ..ops.losses import (
 from ..ops.schedules import resolve_lr
 from .. import profiling
 
-__all__ = ["Mapper", "MapperConstrained", "fit_mapping", "init_logits"]
+__all__ = ["Mapper", "MapperConstrained", "fit_mapping", "init_logits",
+           "make_adam", "make_adafactor"]
 
 HISTORY_KEYS = ["total_loss", "main_loss", "vg_reg", "kl_reg", "entropy_reg"]
 CONSTRAINED_HISTORY_KEYS = HISTORY_KEYS + ["count_reg", "lambda_f_reg"]
@@ -74,6 +75,38 @@ def make_adam(learning_rate: float) -> optax.GradientTransformation:
     """Adam matching ``torch.optim.Adam`` defaults exactly
     (betas=(0.9, 0.999), eps=1e-8 added after the sqrt; ``eps_root=0``)."""
     return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8, eps_root=0.0)
+
+
+def make_adafactor(learning_rate: float) -> optax.GradientTransformation:
+    """Adafactor (Shazeer & Stern 2018) as used by ``optimizer='adafactor'``:
+    factored second moments only — no momentum, no update clipping, explicit
+    learning rate (no relative step sizes or parameter-scale multiply), and
+    ``min_dim_size_to_factor=2`` so M is factored at every problem size.
+
+    The factored statistics replace Adam's two (cells × spots) moment
+    matrices with one (cells,) + one (spots,) vector — the memory-frugal
+    optimizer the fused Pallas path exploits (``ops/fused_step.py``: 10 vs
+    24 bytes/element of per-step HBM traffic at bf16 storage). The fused
+    kernels are numerically parity-tested against this transformation."""
+    return optax.adafactor(
+        learning_rate=learning_rate,
+        min_dim_size_to_factor=2,
+        multiply_by_parameter_scale=False,
+        clipping_threshold=None,
+        momentum=None,
+    )
+
+
+def make_optimizer(name: str, learning_rate: float) -> optax.GradientTransformation:
+    """Resolve ``optimizer=`` ("adam", the reference's choice and the
+    default, or "adafactor") to its optax transformation."""
+    if name == "adam":
+        return make_adam(learning_rate)
+    if name == "adafactor":
+        return make_adafactor(learning_rate)
+    raise ValueError(
+        f'optimizer must be "adam" or "adafactor", got {name!r}'
+    )
 
 
 def init_logits(
@@ -194,6 +227,7 @@ _FIT_STATIC_ARGNAMES = (
     "compute_dtype",
     "param_dtype",
     "rounding",
+    "optimizer",
 )
 
 
@@ -216,8 +250,15 @@ def _fit_mapping_impl(
     rounding: str = "nearest",
     val_each=1,
     step_offset=0,
+    optimizer: str = "adam",
 ):
-    """Run ``num_epochs`` Adam steps; return (params, history-pytree).
+    """Run ``num_epochs`` optimizer steps; return (params, history-pytree).
+
+    ``optimizer`` is "adam" (the reference's optimizer, the default) or
+    "adafactor" (factored second moments — no (c, s) moment matrices; see
+    :func:`make_adafactor`). Adafactor runs fused on the unconstrained
+    Pallas path; constrained mode and non-Pallas impls take the generic
+    optax path.
 
     ``params`` is ``M`` (unconstrained) or ``(M, F)`` (constrained). History
     entries are recorded *before* each step, exactly like the reference loop
@@ -240,7 +281,16 @@ def _fit_mapping_impl(
     from ..ops.core import resolve_impl
 
     resolved = resolve_impl(impl, params[0].shape if constrained else params.shape)
-    use_fused = fused and resolved == "pallas"
+    if optimizer not in ("adam", "adafactor"):
+        raise ValueError(
+            f'optimizer must be "adam" or "adafactor", got {optimizer!r}'
+        )
+    # the constrained fused step is Adam-specific (its F filter carries Adam
+    # moments); constrained + adafactor runs the generic optax path, where
+    # optax.adafactor handles the (M, F) pytree (M factored, F full-v)
+    use_fused = fused and resolved == "pallas" and (
+        optimizer == "adam" or not constrained
+    )
 
     if rounding not in ("nearest", "stochastic"):
         raise ValueError(
@@ -273,7 +323,7 @@ def _fit_mapping_impl(
     def lr_at(t):
         return learning_rate[t - offset] if lr_is_vec else learning_rate
 
-    optimizer = make_adam(1.0 if lr_is_vec else learning_rate)
+    opt_tx = make_optimizer(optimizer, 1.0 if lr_is_vec else learning_rate)
     epoch_ids = jnp.asarray(step_offset) + jnp.arange(num_epochs)
 
     def maybe_val(M, out, t):
@@ -329,9 +379,57 @@ def _fit_mapping_impl(
             epoch_ids,
         )
         if return_opt_state:
-            template = optimizer.init(params)
+            template = opt_tx.init(params)
             opt_state = (
                 template[0]._replace(count=count, mu=(mu, muF), nu=(nu, nuF)),
+            ) + tuple(template[1:])
+            return params, opt_state, history
+        return params, history
+
+    if use_fused and optimizer == "adafactor":
+        from ..ops.fused_step import (
+            fused_unconstrained_step_adafactor,
+            init_fused_adafactor_state,
+            initial_stats,
+        )
+
+        params = params.astype(jnp.dtype(param_dtype))
+        c_, s_ = params.shape
+        if opt_state is None:
+            count, vr, vc = init_fused_adafactor_state(params)
+        else:
+            # optax FactoredState orientation: v_row is the mean over the
+            # LARGEST axis (shape = the smaller dim) — map to the fused
+            # carry's fixed (cells,) / (spots,) orientation
+            fstate = opt_state[0]
+            count = fstate.count
+            if s_ >= c_:
+                vr, vc = fstate.v_row, fstate.v_col
+            else:
+                vr, vc = fstate.v_col, fstate.v_row
+            vr = vr.astype(jnp.float32)
+            vc = vc.astype(jnp.float32)
+        stats = initial_stats(params, lw)
+
+        def step(carry, t):
+            M, count, vr, vc, stats = carry
+            M_new, count_new, vr_new, vc_new, stats_new, terms = (
+                fused_unconstrained_step_adafactor(
+                    M, count, vr, vc, stats, data, lw, lr_at(t),
+                    compute_dtype=jnp.dtype(compute_dtype), rounding=rounding,
+                )
+            )
+            out = maybe_val(M_new, dict(terms), t)
+            return (M_new, count_new, vr_new, vc_new, stats_new), out
+
+        (params, count, vr, vc, _), history = jax.lax.scan(
+            step, (params, count, vr, vc, stats), epoch_ids
+        )
+        if return_opt_state:
+            template = opt_tx.init(params)
+            v_row, v_col = (vr, vc) if s_ >= c_ else (vc, vr)
+            opt_state = (
+                template[0]._replace(count=count, v_row=v_row, v_col=v_col),
             ) + tuple(template[1:])
             return params, opt_state, history
         return params, history
@@ -368,7 +466,7 @@ def _fit_mapping_impl(
             step, (params, count, mu, nu, stats), epoch_ids
         )
         if return_opt_state:
-            template = optimizer.init(params)
+            template = opt_tx.init(params)
             opt_state = (
                 template[0]._replace(count=count, mu=mu, nu=nu),
             ) + tuple(template[1:])
@@ -377,14 +475,14 @@ def _fit_mapping_impl(
 
     loss_fn = compute_constrained_loss if constrained else compute_loss
     if opt_state is None:
-        opt_state = optimizer.init(params)
+        opt_state = opt_tx.init(params)
 
     def step(carry, t):
         params, opt_state = carry
         (_, terms), grads = jax.value_and_grad(
             lambda p: loss_fn(p, data, lw, impl=resolved), has_aux=True
         )(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
+        updates, opt_state = opt_tx.update(grads, opt_state, params)
         if lr_is_vec:
             # make_adam(1.0) emits -m_hat/(sqrt(v_hat)+eps); scaling by the
             # per-epoch lr reproduces adam(lr) exactly ((-1·x)·lr ≡ -lr·x)
@@ -547,6 +645,7 @@ class Mapper:
         compute_dtype: str = "float32",
         param_dtype: str = "float32",
         rounding: str = "nearest",
+        optimizer: str = "adam",
     ):
         del device  # JAX manages placement; kept for signature compatibility
         self.random_state = random_state
@@ -558,6 +657,13 @@ class Mapper:
         self.moment_dtype = moment_dtype
         self.compute_dtype = compute_dtype
         self.param_dtype = param_dtype
+        # "adam" (the reference's optimizer) or "adafactor" (factored second
+        # moments: no (c, s) moment matrices — see make_adafactor)
+        if optimizer not in ("adam", "adafactor"):
+            raise ValueError(
+                f'optimizer must be "adam" or "adafactor", got {optimizer!r}'
+            )
+        self.optimizer = optimizer
         if rounding not in ("nearest", "stochastic"):
             raise ValueError(
                 f'rounding must be "nearest" or "stochastic", got {rounding!r}'
@@ -745,6 +851,17 @@ class Mapper:
             from ..parallel import fit_mapping_fused_sharded, fit_mapping_sharded
 
             use_fused_mesh = "cell" in self.mesh.axis_names
+            if use_fused_mesh and self.optimizer != "adam":
+                # the fused sharded step is Adam-specific; GSPMD handles any
+                # optax state (Adafactor's factor vectors shard with M).
+                # Loud, like the TP-degradation warning: the GSPMD scan
+                # materializes dM, so the per-chip memory envelope differs.
+                logging.warning(
+                    f"optimizer={self.optimizer!r} on a mesh runs through "
+                    "the GSPMD path (the fused sharded kernels implement "
+                    "Adam); expect the generic step's higher HBM traffic."
+                )
+                use_fused_mesh = False
             if self.rounding == "stochastic" and not use_fused_mesh:
                 raise ValueError(
                     "rounding='stochastic' is implemented in the fused "
@@ -769,6 +886,7 @@ class Mapper:
                     with_val=with_val,
                     val_data=val_data if with_val else None,
                     val_each=int(val_each) if with_val else 1,
+                    optimizer=self.optimizer,
                     donate=True,
                 )
                 fit_mesh = fit_mapping_sharded
@@ -816,6 +934,7 @@ class Mapper:
             compute_dtype=self.compute_dtype,
             param_dtype=self.param_dtype,
             rounding=self.rounding,
+            optimizer=self.optimizer,
         )
 
         # The training input buffers are donated: self.M is rebound to the
@@ -993,6 +1112,7 @@ class MapperConstrained:
         compute_dtype: str = "float32",
         param_dtype: str = "float32",
         rounding: str = "nearest",
+        optimizer: str = "adam",
     ):
         del device
         self.random_state = random_state
@@ -1001,6 +1121,14 @@ class MapperConstrained:
         self.moment_dtype = moment_dtype
         self.compute_dtype = compute_dtype
         self.param_dtype = param_dtype
+        # constrained mode has no fused Adafactor kernels (the F filter's
+        # update is Adam-shaped); "adafactor" runs the generic optax path,
+        # where the (M, F) pytree factors M and keeps a full v for F
+        if optimizer not in ("adam", "adafactor"):
+            raise ValueError(
+                f'optimizer must be "adam" or "adafactor", got {optimizer!r}'
+            )
+        self.optimizer = optimizer
         if rounding not in ("nearest", "stochastic"):
             raise ValueError(
                 f'rounding must be "nearest" or "stochastic", got {rounding!r}'
@@ -1082,13 +1210,21 @@ class MapperConstrained:
             # stream live, like the single-chip path (Adam state carried)
             from ..parallel import fit_mapping_fused_sharded, fit_mapping_sharded
 
-            if self.rounding == "stochastic" and "cell" not in self.mesh.axis_names:
+            use_fused_mesh = "cell" in self.mesh.axis_names
+            if use_fused_mesh and self.optimizer != "adam":
+                logging.warning(
+                    f"optimizer={self.optimizer!r} on a mesh runs through "
+                    "the GSPMD path (the fused sharded kernels implement "
+                    "Adam); expect the generic step's higher HBM traffic."
+                )
+                use_fused_mesh = False
+            if self.rounding == "stochastic" and not use_fused_mesh:
                 raise ValueError(
                     "rounding='stochastic' is implemented in the fused "
                     "sharded step (a mesh with a 'cell' axis); the GSPMD "
                     "path stores round-to-nearest."
                 )
-            if "cell" in self.mesh.axis_names:
+            if use_fused_mesh:
                 fit_mesh = fit_mapping_fused_sharded
                 mesh_kw = dict(
                     mesh=self.mesh,
@@ -1100,7 +1236,8 @@ class MapperConstrained:
                 params = (self.M.astype(jnp.dtype(self.param_dtype)), self.F)
             else:
                 fit_mesh = fit_mapping_sharded
-                mesh_kw = dict(mesh=self.mesh, constrained=True, donate=True)
+                mesh_kw = dict(mesh=self.mesh, constrained=True,
+                               optimizer=self.optimizer, donate=True)
                 params = (self.M, self.F)
             if print_each is None or num_epochs == 0:
                 params, history = fit_mesh(
@@ -1126,6 +1263,7 @@ class MapperConstrained:
                 compute_dtype=self.compute_dtype,
                 param_dtype=self.param_dtype,
                 rounding=self.rounding,
+                optimizer=self.optimizer,
             )
             if print_each is None or num_epochs == 0:
                 # donate: (M, F) are rebound to the result right after (see

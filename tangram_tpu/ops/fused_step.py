@@ -54,8 +54,10 @@ from .pallas_core import (
 
 __all__ = [
     "fused_unconstrained_step",
+    "fused_unconstrained_step_adafactor",
     "fused_constrained_step",
     "init_fused_opt_state",
+    "init_fused_adafactor_state",
 ]
 
 BETA1, BETA2, ADAM_EPS = 0.9, 0.999, 1e-8
@@ -192,6 +194,27 @@ def _sr_cast(val_f32, dtype, seed_u32):
     return jax.lax.bitcast_convert_type(u, jnp.float32).astype(dtype)
 
 
+def _grad_tile(M_tile, P, dP, r, valid, lam_l1: float, lam_l2: float):
+    """The full loss gradient for one tile: softmax VJP g = P ⊙ (dP − r̄)
+    plus the L1/L2 norm gradients on the raw logits. Shared by the Adam
+    update, the Adafactor update, and the Adafactor grad² accumulation so
+    all three see the identical gradient."""
+    P = jnp.where(valid, P, 0.0)
+    dP = jnp.where(valid, dP, 0.0)
+    g = P * (dP - r)
+    if lam_l1 != 0.0 or lam_l2 != 0.0:
+        # sentinel (-1e30) pad entries take no norm gradient: their M² would
+        # overflow the second moment to inf and their sign would drift the
+        # sentinel
+        real = M_tile > PAD_GUARD
+        M_norm = jnp.where(real, M_tile, 0.0)
+        if lam_l1 != 0.0:
+            g = g + lam_l1 * jnp.sign(M_norm)
+        if lam_l2 != 0.0:
+            g = g + (2.0 * lam_l2) * M_norm
+    return jnp.where(valid, g, 0.0)
+
+
 def _dm_adam_kernel(
     M_ref, A_ref, dY_ref, w_ref, dq_ref, dh_ref, m_ref, l_ref, r_ref,
     mu_ref, nu_ref, sc_ref,
@@ -207,21 +230,8 @@ def _dm_adam_kernel(
         with_dh=with_dh,
     )
     valid = _spot_mask(s_actual, j, P.shape) & _cell_mask(c_actual, i, P.shape)
-    P = jnp.where(valid, P, 0.0)
-    dP = jnp.where(valid, dP, 0.0)
-
     M_tile = M_ref[...].astype(jnp.float32)
-    g = P * (dP - r_ref[...])
-    if lam_l1 != 0.0 or lam_l2 != 0.0:
-        # sentinel (-1e30) pad entries take no norm gradient: their M² would
-        # overflow nu to inf and their sign would drift the sentinel
-        real = M_tile > PAD_GUARD
-        M_norm = jnp.where(real, M_tile, 0.0)
-        if lam_l1 != 0.0:
-            g = g + lam_l1 * jnp.sign(M_norm)
-        if lam_l2 != 0.0:
-            g = g + (2.0 * lam_l2) * M_norm
-    g = jnp.where(valid, g, 0.0)
+    g = _grad_tile(M_tile, P, dP, r_ref[...], valid, lam_l1, lam_l2)
 
     lr = sc_ref[0, 0]
     bc1 = sc_ref[0, 1]
@@ -253,11 +263,20 @@ def _dm_adam_kernel(
         muo_ref[...] = mu_new.astype(muo_ref.dtype)
         nuo_ref[...] = nu_new.astype(nuo_ref.dtype)
 
-    # Fused rowstats of M_new for the NEXT step (saves a full pass over M):
-    # same online max/sumexp accumulation as the standalone rowstats kernel,
-    # over the spot-tile (inner) grid dimension. Stats come from the STORED
-    # value so that with bf16 parameter storage the next step's softmax
-    # normalization matches what it will actually read back.
+    _emit_next_stats(
+        M_stored, j, s_actual, mo_ref, lo_ref, uo_ref, s1o_ref, s2o_ref,
+        with_norms=with_norms,
+    )
+
+
+def _emit_next_stats(M_stored, j, s_actual, mo_ref, lo_ref, uo_ref,
+                     s1o_ref, s2o_ref, *, with_norms: bool):
+    """Fused rowstats of M_new for the NEXT step (saves a full pass over M):
+    same online max/sumexp accumulation as the standalone rowstats kernel,
+    over the spot-tile (inner) grid dimension. Stats come from the STORED
+    value so that with bf16 parameter storage the next step's softmax
+    normalization matches what it will actually read back. Shared by the
+    Adam and Adafactor update kernels."""
     M_next = M_stored.astype(jnp.float32)
     spot_valid = _spot_mask(s_actual, j, M_next.shape)
     tile_m = jnp.where(spot_valid, M_next, NEG_BIG)
@@ -389,6 +408,235 @@ def _rbar(M, A, w, m, l, dY, dq, dh, with_dh: bool = True):
     )(M, A, dY, w.reshape(-1, 1), dq.reshape(1, -1), dh.reshape(-1, 1), m, l)[0]
 
 
+# ---------------------------------------------------------------------------
+# Adafactor: factored second moment (Shazeer & Stern 2018), fused
+# ---------------------------------------------------------------------------
+#
+# ``optimizer="adafactor"`` replaces Adam's two (cells × spots) moment
+# matrices with one (cells,) and one (spots,) vector — the TPU-native
+# memory-frugal option Adafactor was designed to be. Per step the fused path
+# then moves 5 passes of M (projection, rbar, grad² accumulation, update
+# read+write) and ~zero optimizer-state bytes, versus Adam's 4 M passes + 8
+# moment passes: at bf16 storage that is 10 vs 24 bytes per element of
+# per-step HBM traffic, and optimizer HBM residency drops from 2·c·s to
+# c + s. Semantics match ``optax.adafactor(learning_rate=lr,
+# min_dim_size_to_factor=2, multiply_by_parameter_scale=False,
+# clipping_threshold=None, momentum=None)`` exactly (asserted by tests);
+# factor statistics are carried in f32 regardless of param_dtype.
+
+ADAFACTOR_EPS = 1e-30  # optax's epsilon on grad² before the row/col means
+ADAFACTOR_DECAY = 0.8  # optax's power-schedule exponent: 1 − (t+1)^−0.8
+
+
+def _gsq_kernel(
+    M_ref, A_ref, dY_ref, w_ref, dq_ref, dh_ref, m_ref, l_ref, r_ref,
+    vr_ref, vc_ref,
+    *, c_actual: int, s_actual: int, lam_l1: float, lam_l2: float,
+    with_dh: bool = True,
+):
+    """Row sums (over spots) and column partial sums (over the cell tile) of
+    the squared gradient — the Adafactor second-moment statistics —
+    recomputing P/dP/g exactly like the update kernel."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    P, dP, _, _ = _dp_tile(
+        M_ref[...], m_ref[...], l_ref[...], A_ref[...], dY_ref[...],
+        w_ref[...], dq_ref[...], dh_ref[...], i, j, c_actual, s_actual,
+        with_dh=with_dh,
+    )
+    valid = _spot_mask(s_actual, j, P.shape) & _cell_mask(c_actual, i, P.shape)
+    g = _grad_tile(M_ref[...].astype(jnp.float32), P, dP, r_ref[...], valid,
+                   lam_l1, lam_l2)
+    gsq = g * g
+
+    @pl.when(j == 0)
+    def _init():
+        vr_ref[...] = jnp.zeros_like(vr_ref)
+
+    vr_ref[...] += jnp.sum(gsq, axis=1, keepdims=True)
+    # the (8, ts) column-partial block is indexed (i, j): written exactly
+    # once per grid step, summed over the cell-tile axis outside the kernel.
+    # Row 0 carries the partial; rows 1-7 are zero padding — Mosaic requires
+    # the block's second-to-last dim divisible by 8, and the extra write
+    # traffic is 8·ceil(c/tc)·s·4 bytes ≈ 0.3% of the step
+    part = jnp.sum(gsq, axis=0, keepdims=True)
+    vc_ref[...] = jnp.concatenate(
+        [part, jnp.zeros((7, part.shape[1]), jnp.float32)], axis=0
+    )
+
+
+def _gsq(M, A, w, m, l, dY, dq, dh, r, lam_l1, lam_l2, with_dh: bool = True):
+    """Returns (vr_sum (c,), vc_sum (s,)): Σ_spots g² per cell and
+    Σ_cells g² per spot."""
+    c, s = M.shape
+    k = A.shape[1]
+    n_ci = pl.cdiv(c, TC)
+    cell_stat = pl.BlockSpec((TC, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((TC, TS), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TC, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TS, k), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        cell_stat,
+        pl.BlockSpec((1, TS), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        cell_stat,
+        cell_stat,
+        cell_stat,
+        cell_stat,
+    ]
+    grid = (n_ci, pl.cdiv(s, TS))
+    vr, vc_parts = pl.pallas_call(
+        partial(_gsq_kernel, c_actual=c, s_actual=s, lam_l1=float(lam_l1),
+                lam_l2=float(lam_l2), with_dh=with_dh),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            cell_stat,
+            pl.BlockSpec((8, TS), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c, 1), jnp.float32),
+            jax.ShapeDtypeStruct((8 * n_ci, -(-s // TS) * TS), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(M, A, dY, w.reshape(-1, 1), dq.reshape(1, -1), dh.reshape(-1, 1),
+      m, l, r)
+    return vr[:, 0], jnp.sum(vc_parts, axis=0)[:s]
+
+
+def factored_rms_vectors(count, vr, vc, vr_sum, vc_sum, c_actual, s_actual):
+    """The XLA-side Adafactor bookkeeping between the two kernels: decay the
+    carried factor statistics toward this step's row/col grad² means and
+    form the per-row / per-col rsqrt factors of optax's update
+    ``u = g · row_factor ⊗ col_factor``.
+
+    Follows optax ``scale_by_factored_rms`` exactly, including the shape-
+    dependent orientation: the factor living on the SMALLER dimension is the
+    one normalized by its mean (optax reduces ``v_row`` over the largest
+    axis and divides it by ``row_col_mean``)."""
+    t = count.astype(jnp.float32)
+    decay = 1.0 - (t + 1.0) ** (-ADAFACTOR_DECAY)
+    gr = vr_sum / float(s_actual) + ADAFACTOR_EPS
+    gc = vc_sum / float(c_actual) + ADAFACTOR_EPS
+    vr_new = decay * vr + (1.0 - decay) * gr
+    vc_new = decay * vc + (1.0 - decay) * gc
+    # ** -0.5 (not rsqrt) to match optax bit-for-bit: adafactor dynamics
+    # amplify a 1-ulp factor difference into visibly diverged trajectories
+    if s_actual >= c_actual:
+        rowf = (vr_new / jnp.mean(vr_new)) ** -0.5
+        colf = vc_new ** -0.5
+    else:
+        rowf = vr_new ** -0.5
+        colf = (vc_new / jnp.mean(vc_new)) ** -0.5
+    return vr_new, vc_new, rowf, colf
+
+
+def _dm_adafactor_kernel(
+    M_ref, A_ref, dY_ref, w_ref, dq_ref, dh_ref, m_ref, l_ref, r_ref,
+    rowf_ref, colf_ref, sc_ref,
+    Mo_ref, mo_ref, lo_ref, uo_ref, s1o_ref, s2o_ref,
+    *, c_actual: int, s_actual: int, lam_l1: float, lam_l2: float,
+    with_norms: bool, sr: bool = False, with_dh: bool = True,
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    P, dP, _, _ = _dp_tile(
+        M_ref[...], m_ref[...], l_ref[...], A_ref[...], dY_ref[...],
+        w_ref[...], dq_ref[...], dh_ref[...], i, j, c_actual, s_actual,
+        with_dh=with_dh,
+    )
+    valid = _spot_mask(s_actual, j, P.shape) & _cell_mask(c_actual, i, P.shape)
+    M_tile = M_ref[...].astype(jnp.float32)
+    g = _grad_tile(M_tile, P, dP, r_ref[...], valid, lam_l1, lam_l2)
+
+    lr = sc_ref[0, 0]
+    # u = g · row_factor ⊗ col_factor (rsqrt factors precomputed on the
+    # (c,) / (s,) vectors — the only per-element work is two multiplies)
+    M_new = M_tile - lr * (g * rowf_ref[...] * colf_ref[...])
+    if sr:
+        tile_id = jnp.uint32(i * pl.num_programs(1) + j)
+        base = _wang_hash(
+            sc_ref[0, 1].astype(jnp.int32).astype(jnp.uint32)
+            ^ (tile_id * jnp.uint32(0x85EBCA6B))
+        )
+        M_stored = _sr_cast(M_new, Mo_ref.dtype, base ^ jnp.uint32(1))
+    else:
+        M_stored = M_new.astype(Mo_ref.dtype)
+    Mo_ref[...] = M_stored
+
+    _emit_next_stats(
+        M_stored, j, s_actual, mo_ref, lo_ref, uo_ref, s1o_ref, s2o_ref,
+        with_norms=with_norms,
+    )
+
+
+def _dm_adafactor(M, A, w, m, l, dY, dq, dh, r, rowf, colf, scalars,
+                  lam_l1, lam_l2, with_norms: bool, sr: bool = False,
+                  with_dh: bool = True):
+    """Adafactor update + next-step rowstats, one streamed pass.
+
+    Returns (M_new, m', l', u'[, s1', s2']). Unlike the Adam kernel there
+    are no moment matrices: the factored statistics ride in as the (c, 1)
+    row and (1, s) column rsqrt factor vectors."""
+    c, s = M.shape
+    k = A.shape[1]
+    ts = _pick_adam_ts(M.dtype.itemsize)
+    # the adafactor kernel carries no mu/nu blocks — reuse the Adam budget
+    # model with zero moment bytes for a slightly wider cell tile
+    tc = _pick_adam_tc(ts, k, 0, A.dtype.itemsize, M.dtype.itemsize)
+    grid = (pl.cdiv(c, tc), pl.cdiv(s, ts))
+
+    big = lambda i, j: (i, j)  # noqa: E731
+    cell_stat = pl.BlockSpec((tc, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((tc, ts), big, memory_space=pltpu.VMEM),              # M
+        pl.BlockSpec((tc, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),   # A
+        pl.BlockSpec((ts, k), lambda i, j: (j, 0), memory_space=pltpu.VMEM),   # dY
+        cell_stat,                                                          # w
+        pl.BlockSpec((1, ts), lambda i, j: (0, j), memory_space=pltpu.VMEM),   # dq
+        cell_stat,                                                          # dh
+        cell_stat,                                                          # m
+        cell_stat,                                                          # l
+        cell_stat,                                                          # r
+        cell_stat,                                                          # rowf
+        pl.BlockSpec((1, ts), lambda i, j: (0, j), memory_space=pltpu.VMEM),   # colf
+        pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),  # scalars
+    ]
+    n_stats = 5 if with_norms else 3
+    out_specs = [
+        pl.BlockSpec((tc, ts), big, memory_space=pltpu.VMEM),
+    ] + [cell_stat] * n_stats
+    out_shape = [
+        jax.ShapeDtypeStruct((c, s), M.dtype),
+    ] + [jax.ShapeDtypeStruct((c, 1), jnp.float32)] * n_stats
+
+    def kernel(*refs):
+        ins = refs[:12]
+        outs = refs[12:]
+        if with_norms:
+            _dm_adafactor_kernel(
+                *ins, *outs,
+                c_actual=c, s_actual=s, lam_l1=float(lam_l1),
+                lam_l2=float(lam_l2), with_norms=True, sr=sr, with_dh=with_dh,
+            )
+        else:
+            _dm_adafactor_kernel(
+                *ins, *outs, None, None,
+                c_actual=c, s_actual=s, lam_l1=float(lam_l1),
+                lam_l2=float(lam_l2), with_norms=False, sr=sr,
+                with_dh=with_dh,
+            )
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(M, A, dY, w.reshape(-1, 1), dq.reshape(1, -1), dh.reshape(-1, 1),
+      m, l, r, rowf.reshape(-1, 1), colf.reshape(1, -1), scalars)
+
+
 def init_fused_opt_state(M, moment_dtype=jnp.float32):
     """(count, mu, nu) — the fused path's Adam carry.
 
@@ -412,32 +660,15 @@ def initial_stats(M, lw: LossWeights):
     return tuple(_rowstats(M))
 
 
-def fused_unconstrained_step(
-    M,
-    count,
-    mu,
-    nu,
-    stats,
-    data: MapperData,
-    lw: LossWeights,
-    learning_rate,
-    compute_dtype=jnp.float32,
-    rounding: str = "nearest",
-):
-    """One fused Adam step.
-
-    ``stats`` are the carried softmax rowstats of M (from :func:`initial_stats`
-    or the previous step's fused output), so the step makes only 3 streamed
-    passes over M: projection, rbar, and backward+Adam (which also emits the
-    next step's stats).
-
-    Returns ``(M_new, count_new, mu_new, nu_new, stats_new, terms)``.
-    """
+def _unconstrained_cotangents(M, stats, data, lw, compute_dtype):
+    """Shared prologue of the fused unconstrained steps: projection forward,
+    XLA loss epilogue + VJP, and the rbar pass. Returns everything the
+    update kernels need plus the per-term loss report."""
     A, w = unconstrained_inputs(M, data, lw)
     k_real = A.shape[1]
     # compute_dtype=bfloat16 halves the kernels' A/dY block traffic and runs
     # the dP/Y matmuls at the MXU's bf16 rate; P recompute, softmax stats and
-    # the Adam update stay f32 (accumulation is always f32).
+    # the optimizer update stay f32 (accumulation is always f32).
     A_p = _pad_k(A).astype(compute_dtype)
 
     need_norms = lw.lambda_l1 != 0 or lw.lambda_l2 != 0
@@ -461,10 +692,38 @@ def fused_unconstrained_step(
     dY, dq, dh = vjp(jnp.ones_like(total))
     dY_p = _pad_k(dY).astype(compute_dtype)
 
-    # λ_r = 0 ⇒ dh ≡ 0: drop the entropy-cotangent path from both backward
+    # λ_r = 0 ⇒ dh ≡ 0: drop the entropy-cotangent path from the backward
     # kernels (static — λ is compile-time)
     with_dh = lw.lambda_r != 0
     r = _rbar(M, A_p, w, m, l, dY_p, dq, dh, with_dh=with_dh)
+    return A_p, w, m, l, dY_p, dq, dh, r, terms, need_norms, with_dh
+
+
+def fused_unconstrained_step(
+    M,
+    count,
+    mu,
+    nu,
+    stats,
+    data: MapperData,
+    lw: LossWeights,
+    learning_rate,
+    compute_dtype=jnp.float32,
+    rounding: str = "nearest",
+):
+    """One fused Adam step.
+
+    ``stats`` are the carried softmax rowstats of M (from :func:`initial_stats`
+    or the previous step's fused output), so the step makes only 3 streamed
+    passes over M: projection, rbar, and backward+Adam (which also emits the
+    next step's stats).
+
+    Returns ``(M_new, count_new, mu_new, nu_new, stats_new, terms)``.
+    """
+    (A_p, w, m, l, dY_p, dq, dh, r, terms,
+     need_norms, with_dh) = _unconstrained_cotangents(
+        M, stats, data, lw, compute_dtype
+    )
 
     count_new = count + 1
     t = count_new.astype(jnp.float32)
@@ -482,6 +741,63 @@ def fused_unconstrained_step(
     M_new, mu_new, nu_new = out[:3]
     stats_new = tuple(out[3:])
     return M_new, count_new, mu_new, nu_new, stats_new, terms
+
+
+def init_fused_adafactor_state(M):
+    """(count, v_row (c,), v_col (s,)) — the fused Adafactor carry. The
+    factor vectors replace Adam's two (c, s) moment matrices; they are
+    carried in f32 regardless of the parameter storage dtype."""
+    c, s = M.shape
+    return (jnp.zeros((), jnp.int32), jnp.zeros((c,), jnp.float32),
+            jnp.zeros((s,), jnp.float32))
+
+
+def fused_unconstrained_step_adafactor(
+    M,
+    count,
+    vr,
+    vc,
+    stats,
+    data: MapperData,
+    lw: LossWeights,
+    learning_rate,
+    compute_dtype=jnp.float32,
+    rounding: str = "nearest",
+):
+    """One fused Adafactor step (see the Adafactor section comment above).
+
+    Same contract as :func:`fused_unconstrained_step` with the (c,) / (s,)
+    factor vectors in place of the (c, s) Adam moments: 4 streamed passes
+    over M (projection, rbar, grad² accumulation, update — which also emits
+    the next step's rowstats) and no moment matrices.
+
+    Returns ``(M_new, count_new, vr_new, vc_new, stats_new, terms)``.
+    """
+    (A_p, w, m, l, dY_p, dq, dh, r, terms,
+     need_norms, with_dh) = _unconstrained_cotangents(
+        M, stats, data, lw, compute_dtype
+    )
+
+    c, s = M.shape
+    vr_sum, vc_sum = _gsq(M, A_p, w, m, l, dY_p, dq, dh, r,
+                          lw.lambda_l1, lw.lambda_l2, with_dh=with_dh)
+    vr_new, vc_new, rowf, colf = factored_rms_vectors(
+        count, vr, vc, vr_sum, vc_sum, c, s
+    )
+
+    count_new = count + 1
+    scalars = jnp.stack([
+        jnp.asarray(learning_rate, jnp.float32),
+        count_new.astype(jnp.float32),
+    ]).reshape(1, 2)
+    out = _dm_adafactor(
+        M, A_p, w, m, l, dY_p, dq, dh, r, rowf, colf, scalars,
+        lw.lambda_l1, lw.lambda_l2, with_norms=need_norms,
+        sr=rounding == "stochastic", with_dh=with_dh,
+    )
+    M_new = out[0]
+    stats_new = tuple(out[1:])
+    return M_new, count_new, vr_new, vc_new, stats_new, terms
 
 
 def _adam_vector(x, g, mu, nu, lr, bc1, bc2):
