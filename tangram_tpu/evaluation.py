@@ -608,8 +608,13 @@ def _cross_val_batched(
         )
         params, history = fit(params0, data)
         M_final = params[0] if constrained else params
-        P = jax.nn.softmax(M_final, axis=1)  # (folds, c, s)
-        G_pred = jnp.einsum("fcs,cg->fsg", P, S_dev)
+        # (folds, c, s): rows-over-SPOTS is the LAST axis here — axis=1
+        # would renormalize over cells and silently depress every test
+        # score (caught against the torch reference on the NB fixture:
+        # −0.078 held-out LOO score)
+        P = jax.nn.softmax(M_final, axis=-1)
+        G_pred = jnp.einsum("fcs,cg->fsg", P, S_dev,
+                            precision=jax.lax.Precision.HIGHEST)
         # per-fold per-gene cosine score against measured G
         dots = jnp.sum(G_pred * G_dev[None], axis=1)
         n1 = jnp.linalg.norm(G_pred, axis=1)

@@ -152,7 +152,7 @@ def expression_init_logits(S, G, scale=4.0, dtype=jnp.float32):
     G = jnp.asarray(G, dtype)
     Sn = S / jnp.maximum(jnp.linalg.norm(S, axis=1, keepdims=True), 1e-8)
     Gn = G / jnp.maximum(jnp.linalg.norm(G, axis=1, keepdims=True), 1e-8)
-    return scale * (Sn @ Gn.T)
+    return scale * jnp.matmul(Sn, Gn.T, precision=jax.lax.Precision.HIGHEST)
 
 
 import functools

@@ -164,8 +164,12 @@ def spatial_local_indicators(G, W, lw: LossWeights):
             r, c = W.row_sums(), W.col_sums()
         else:
             r, c = jnp.sum(W, axis=1), jnp.sum(W, axis=0)
+        GG = G * G
+        hi = jax.lax.Precision.HIGHEST  # full-f32 dots on TPU
         pair_sum = (
-            r @ (G * G) + c @ (G * G) - 2.0 * jnp.sum(G * WG, axis=0)
+            jnp.einsum("s,sg->g", r, GG, precision=hi)
+            + jnp.einsum("s,sg->g", c, GG, precision=hi)
+            - 2.0 * jnp.sum(G * WG, axis=0)
         )
         geary = _safe_div(pair_sum, 2.0 * m2)
 
