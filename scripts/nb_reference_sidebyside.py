@@ -118,6 +118,12 @@ def loo_leg(ref, fold_stride=10, num_epochs=1000, flush_partial=None):
             "n_folds_compared": len(done),
             "n_folds_planned": len(subset),
             "fold_stride": fold_stride,
+            # per-fold torch scores keyed by gene name so the rebuild side
+            # can be re-scored later without repeating the CPU torch loop
+            "torch_per_gene": {g: round(torch_scores[g], 4)
+                               for g in subset_genes},
+            "rebuild_per_gene": {g: round(s, 4)
+                                 for g, s in zip(subset_genes, jax_subset)},
             "reference_torch_avg_test_score": round(
                 float(np.mean(torch_subset)), 4
             ),
@@ -229,7 +235,7 @@ def annotation_leg(ref, n_cells=2_600, num_epochs=1000):
             "final_train_score": round(jax_train, 4),
             "annotation_recovery_median_corr": round(jax_median, 3),
             "annotation_recovery_mean_corr": round(jax_mean, 3),
-            "seconds_cpu_jax": round(jax_seconds, 1),
+            "seconds_rebuild": round(jax_seconds, 1),
         },
         "train_score_delta": round(jax_train - ref_train, 4),
         "recovery_median_delta": round(jax_median - ref_median, 3),
@@ -250,7 +256,13 @@ def main():
         print("reference optimizer unavailable; nothing to do", file=sys.stderr)
         return 1
 
+    import jax
+
     result = {
+        # the JAX_PLATFORMS=cpu default above does NOT stick on hosts whose
+        # sitecustomize pre-imports jax with a TPU plugin — record what the
+        # rebuild actually ran on
+        "rebuild_backend": jax.default_backend(),
         "purpose": "torch-reference side-by-side on the NB-matched fixture "
                    "(VERDICT r4 #3); reference imported live from "
                    "/root/reference, run on this host's CPU (the "
