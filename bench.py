@@ -1023,6 +1023,20 @@ def main():
                 d, lw, 12_500, 50_000, steps=50, impl="pallas",
                 param_dtype="bfloat16", rounding="stochastic", **kwargs,
             )
+            # opt-in Adafactor (factored second moments — no (c, s) moment
+            # matrices): measured beside Adam at the same shard. f32 is
+            # bytes-bound and wins ~11%; bf16 is VPU-bound and stays flat —
+            # there the win is capacity (optimizer state c+s instead of
+            # 2·c·s). Convergence tradeoff documented in docs/design.md.
+            shard_ms_adafactor = step_time(
+                d, lw, 12_500, 50_000, steps=50, impl="pallas",
+                optimizer="adafactor", **kwargs,
+            )
+            result["adafactor_shard"] = {
+                "f32_ms_per_step": round(shard_ms_adafactor, 2),
+                "adam_f32_ms_per_step": round(shard_ms, 2),
+                "optimizer_state_bytes": "c+s vs Adam's 2*c*s",
+            }
             del d
             gc.collect()
 
