@@ -42,6 +42,9 @@ PARITY_TOL = 1e-4
 # (spots × genes_padded) projection once per step (reduce-scatter+all-gather
 # ≈ 2·(n-1)/n of the buffer over the ring).
 ICI_BYTES_PER_S = 100e9
+# v5e HBM bandwidth spec (Cloud TPU docs: 819 GB/s per chip) — the roofline
+# reports fractions of BOTH this and the same-run measured copy slope
+V5E_HBM_SPEC_GBPS = 819.0
 # v5e DCN: ~25 GB/s per host of cross-slice bandwidth (4 chips/host share a
 # 100 Gbps-class NIC pair; conservative figure). Multi-slice runs add one
 # cross-slice reduce of the same (spots × genes) buffer per step.
@@ -973,10 +976,16 @@ def main():
             peak = measure_peak_gbps()
             roofline = {
                 "peak_GBps_measured_copy": round(peak, 1),
+                "peak_GBps_hw_spec": V5E_HBM_SPEC_GBPS,
                 "method": "slope-timed dependent-copy chains (the tunneled "
                           "backend makes single-call timing meaningless); "
                           "achieved = first-principles bytes/step / measured "
-                          "ms/step at each shape",
+                          "ms/step at each shape. The copy probe (a chained "
+                          "x+1 pass) is a LOWER BOUND on the chip's DMA "
+                          "ceiling — the multi-buffered Pallas kernels can "
+                          "legitimately exceed it (fractions of it above "
+                          "1.0), so each shape also reports the fraction of "
+                          "the hardware spec sheet",
                 "shapes": {},
             }
             for key, ms in table.items():
@@ -987,7 +996,10 @@ def main():
                     "bytes_model_GB": round(b / 1e9, 2),
                     "ms_per_step": ms,
                     "achieved_GBps": round(achieved, 1),
-                    "fraction_of_peak": round(achieved / peak, 3),
+                    "fraction_of_measured_copy": round(achieved / peak, 3),
+                    "fraction_of_hw_spec": round(
+                        achieved / V5E_HBM_SPEC_GBPS, 3
+                    ),
                 }
             result["roofline"] = roofline
 
@@ -1024,18 +1036,26 @@ def main():
                 param_dtype="bfloat16", rounding="stochastic", **kwargs,
             )
             # opt-in Adafactor (factored second moments — no (c, s) moment
-            # matrices): measured beside Adam at the same shard. f32 is
-            # bytes-bound and wins ~11%; bf16 is VPU-bound and stays flat —
-            # there the win is capacity (optimizer state c+s instead of
-            # 2·c·s). Convergence tradeoff documented in docs/design.md.
+            # matrices): measured beside Adam at the same shard. The step is
+            # ~15% SLOWER on a quiet chip (the grad² and factored-update
+            # passes repay the exp/dP recompute Adam's single fused kernel
+            # amortizes); the value is optimizer-state MEMORY — c+s bytes
+            # instead of 2·c·s, ~2.7x the single-chip cell capacity at bf16
+            # params. Convergence tradeoff documented in docs/design.md.
             shard_ms_adafactor = step_time(
                 d, lw, 12_500, 50_000, steps=50, impl="pallas",
                 optimizer="adafactor", **kwargs,
             )
             result["adafactor_shard"] = {
-                "f32_ms_per_step": round(shard_ms_adafactor, 2),
-                "adam_f32_ms_per_step": round(shard_ms, 2),
-                "optimizer_state_bytes": "c+s vs Adam's 2*c*s",
+                "f32_params_ms_per_step": round(shard_ms_adafactor, 2),
+                "adam_f32_params_bf16_moments_ms_per_step": round(
+                    shard_ms, 2
+                ),
+                "optimizer_state_bytes": "c+s vs Adam's 2*c*s "
+                                         "(~2.7x cell capacity at bf16 "
+                                         "params); step itself is ~15% "
+                                         "slower — a capacity option, not "
+                                         "a speed one",
             }
             del d
             gc.collect()
@@ -1067,25 +1087,23 @@ def main():
             # bf16-params leg side by side
             b_shard_f32 = step_bytes_model(12_500, 50_000, N_GENES,
                                            pb=4, mb=2, cb=2)
+            a_f32 = b_shard_f32 / 1e9 / shard_ms * 1e3
             result["roofline"]["shapes"]["12500x50000"] = {
                 "bytes_model_GB": round(b_shard_f32 / 1e9, 2),
                 "ms_per_step": round(shard_ms, 2),
-                "achieved_GBps": round(
-                    b_shard_f32 / 1e9 / shard_ms * 1e3, 1
-                ),
-                "fraction_of_peak": round(
-                    b_shard_f32 / 1e9 / shard_ms * 1e3 / peak, 3
-                ),
+                "achieved_GBps": round(a_f32, 1),
+                "fraction_of_measured_copy": round(a_f32 / peak, 3),
+                "fraction_of_hw_spec": round(a_f32 / V5E_HBM_SPEC_GBPS, 3),
             }
             b_shard = step_bytes_model(12_500, 50_000, N_GENES,
                                        pb=2, mb=2, cb=2)
+            a_bf16 = b_shard / 1e9 / shard_ms_bf16 * 1e3
             result["roofline"]["shapes"]["12500x50000_bf16"] = {
                 "bytes_model_GB": round(b_shard / 1e9, 2),
                 "ms_per_step": round(shard_ms_bf16, 2),
-                "achieved_GBps": round(b_shard / 1e9 / shard_ms_bf16 * 1e3, 1),
-                "fraction_of_peak": round(
-                    b_shard / 1e9 / shard_ms_bf16 * 1e3 / peak, 3
-                ),
+                "achieved_GBps": round(a_bf16, 1),
+                "fraction_of_measured_copy": round(a_bf16 / peak, 3),
+                "fraction_of_hw_spec": round(a_bf16 / V5E_HBM_SPEC_GBPS, 3),
                 "note": "tile space exhausted (scripts/adam_tile_sweep.py, "
                         "2026-08-19): (ts, tc) swept over "
                         "{768,2048,2560,3072}x{128..384} at this exact "
@@ -1314,10 +1332,11 @@ def _headline(result):
         "atlas_ms_per_step": _get("atlas_50k_cells_x_25k_spots_ms_per_step"),
         "tutorial_bf16_ms_per_step": _get("tutorial_bf16_params_ms_per_step"),
         "roofline_f32_frac": _get(
-            "roofline", "shapes", "12500x50000", "fraction_of_peak"
+            "roofline", "shapes", "12500x50000", "fraction_of_measured_copy"
         ),
         "roofline_bf16_frac": _get(
-            "roofline", "shapes", "12500x50000_bf16", "fraction_of_peak"
+            "roofline", "shapes", "12500x50000_bf16",
+            "fraction_of_measured_copy"
         ),
         "north_star_parity_s": _get(
             "north_star_projection", "projected_seconds_to_parity"

@@ -325,9 +325,10 @@ def map_cells_to_space(
     parameters/moments (``param_dtype``/``moment_dtype='bfloat16'``) with
     unbiased stochastic rounding instead of round-to-nearest;
     ``optimizer='adafactor'`` swaps Adam for factored-second-moment
-    Adafactor (no (cells × spots) moment matrices — ~40% less per-step HBM
-    traffic at bf16 storage and ~3x the single-chip cell capacity; see
-    ``models.mapper.make_adafactor`` for the exact semantics).
+    Adafactor: no (cells × spots) moment matrices, so optimizer state is
+    c+s instead of 2·c·s (~2.7x the single-chip cell capacity at bf16
+    params) at the cost of a ~15% slower step and a small convergence gap
+    (see ``models.mapper.make_adafactor`` for the exact semantics).
     """
     lambda_d = _check_mapping_args(
         mode, lambda_g1, lambda_d, density_prior, cluster_label,

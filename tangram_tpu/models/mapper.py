@@ -84,10 +84,13 @@ def make_adafactor(learning_rate: float) -> optax.GradientTransformation:
     ``min_dim_size_to_factor=2`` so M is factored at every problem size.
 
     The factored statistics replace Adam's two (cells × spots) moment
-    matrices with one (cells,) + one (spots,) vector — the memory-frugal
-    optimizer the fused Pallas path exploits (``ops/fused_step.py``: 10 vs
-    24 bytes/element of per-step HBM traffic at bf16 storage). The fused
-    kernels are numerically parity-tested against this transformation."""
+    matrices with one (cells,) + one (spots,) vector — optimizer-state HBM
+    residency drops from 2·c·s to c+s (~2.7× the single-chip cell capacity
+    at bf16 parameters). The step itself measures ~15% SLOWER than the
+    fused Adam step on a quiet v5e (the grad² accumulation and factored
+    update repay the exp/dP recompute Adam's single fused kernel
+    amortizes): a capacity option, not a speed one. The fused kernels are
+    numerically parity-tested against this optax transformation."""
     return optax.adafactor(
         learning_rate=learning_rate,
         min_dim_size_to_factor=2,

@@ -415,11 +415,13 @@ def _rbar(M, A, w, m, l, dY, dq, dh, with_dh: bool = True):
 # ``optimizer="adafactor"`` replaces Adam's two (cells × spots) moment
 # matrices with one (cells,) and one (spots,) vector — the TPU-native
 # memory-frugal option Adafactor was designed to be. Per step the fused path
-# then moves 5 passes of M (projection, rbar, grad² accumulation, update
+# moves 5 passes of M (projection, rbar, grad² accumulation, update
 # read+write) and ~zero optimizer-state bytes, versus Adam's 4 M passes + 8
-# moment passes: at bf16 storage that is 10 vs 24 bytes per element of
-# per-step HBM traffic, and optimizer HBM residency drops from 2·c·s to
-# c + s. Semantics match ``optax.adafactor(learning_rate=lr,
+# moment passes — fewer bytes, but the two extra backward-style passes
+# repay the exp/dP recompute that Adam's single fused kernel amortizes, so
+# the step measures ~15% SLOWER on a quiet v5e. The win is optimizer-state
+# RESIDENCY: c + s instead of 2·c·s (~2.7× the single-chip cell capacity at
+# bf16 parameters). Semantics match ``optax.adafactor(learning_rate=lr,
 # min_dim_size_to_factor=2, multiply_by_parameter_scale=False,
 # clipping_threshold=None, momentum=None)`` exactly (asserted by tests);
 # factor statistics are carried in f32 regardless of param_dtype.
