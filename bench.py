@@ -1361,8 +1361,12 @@ def _headline(result):
     h.update({k: v for k, v in extras.items() if v is not None})
     h["full_record"] = "BENCH_LAST_TPU.json"
     out = json.dumps(h)
-    while len(out) > 1500:  # hard ceiling: drop trailing extras
-        h.popitem()
+    # hard ceiling: drop extras (last-added first) — NEVER the driver
+    # contract keys (metric/value/unit/vs_baseline/...) or the pointer to
+    # the full record
+    droppable = [k for k in extras if k in h]
+    while len(out) > 1500 and droppable:
+        h.pop(droppable.pop())
         out = json.dumps(h)
     return h
 

@@ -30,24 +30,12 @@ _fetch = jax.jit(lambda t: jax.tree.leaves(t)[0].ravel()[0])
 
 
 def measure_peak_gbps():
-    x = jnp.ones((512 * 1024, 1024), jnp.float32)  # 2 GB
-    f = jax.jit(lambda x: x + 1.0)
-    g = jax.jit(lambda x: x[0, 0])
-    float(g(f(x)))
-    best = 0.0
-    for _ in range(3):
-        ts = []
-        for n in (5, 25):
-            y = x
-            t0 = time.perf_counter()
-            for _ in range(n):
-                y = f(y)
-            float(g(y))
-            ts.append(time.perf_counter() - t0)
-        ms = (ts[1] - ts[0]) / 20 * 1e3
-        best = max(best, 2 * x.nbytes / ms / 1e6)
-    del x
-    return best
+    """Same scan-slope method as bench.measure_peak_gbps (the python-loop
+    variant reads 10-15% low under host CPU contention)."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import measure_peak_gbps as _bench_peak
+
+    return _bench_peak()
 
 
 def scan_slope_ms(step, carry, ns=(4, 20)):
@@ -143,7 +131,7 @@ def sweep(c=12_500, s=50_000, k=384, param_dtype=jnp.bfloat16,
     return results
 
 
-def full_step_probe(c=12_500, s=50_000, g=249, peak=789.0,
+def full_step_probe(c=12_500, s=50_000, g=249,
                     param_dtype=jnp.bfloat16, epochs=60, ts_override=None):
     """Whole fused training step (project + epilogue + rbar + dm_adam) at
     the north-star shard, timed exactly like bench.py (scan slope), with
@@ -166,16 +154,17 @@ def full_step_probe(c=12_500, s=50_000, g=249, peak=789.0,
     orig = fused_step._pick_adam_ts
     if ts_override is not None:
         fused_step._pick_adam_ts = lambda pb=4: ts_override
+    # the module-level jit cache keys on (avals, statics) only — identical
+    # across ts overrides — so a cached executable would silently ignore the
+    # monkeypatch. Clear ALL jit caches so each override really retraces.
+    jax.clear_caches()
     try:
         kw = dict(moment_dtype="bfloat16", compute_dtype="bfloat16",
                   param_dtype=jnp.dtype(param_dtype).name, impl="pallas")
-        ms = {}
-        for n in (20, epochs):
-            t0 = time.perf_counter()
+        for n in (20, epochs):  # compile both lengths
             params, hist = fit_mapping(M0 * 1.0001, data, lw, n, 0.1, **kw)
             float(jax.device_get(hist["main_loss"][-1]))
-            ms[n] = time.perf_counter() - t0
-        # warm pass (compile cached): repeat for the slope
+        # warm pass: repeat for the slope
         ts2 = {}
         for n in (20, epochs):
             t0 = time.perf_counter()
@@ -185,6 +174,7 @@ def full_step_probe(c=12_500, s=50_000, g=249, peak=789.0,
         step_ms = (ts2[epochs] - ts2[20]) / (epochs - 20) * 1e3
     finally:
         fused_step._pick_adam_ts = orig
+        jax.clear_caches()
 
     from tangram_tpu.ops.fused_step import _pick_adam_tc
     pb = jnp.dtype(param_dtype).itemsize
@@ -202,6 +192,6 @@ if __name__ == "__main__":
     print(f"peak copy bandwidth (slope): {peak:.1f} GB/s", flush=True)
     if "--full-step" in sys.argv:
         for ts_o in (None, 2048, 2560, 3072):
-            full_step_probe(peak=peak, ts_override=ts_o)
+            full_step_probe(ts_override=ts_o)
     else:
         sweep(peak=peak)

@@ -543,19 +543,9 @@ def _cross_val_batched(
         if cell_axes and n_cells % shards == 0:
             n_cell_shards = shards
         elif cell_axes:
-            # VERDICT r4 #8: never degrade silently — a user who budgeted
-            # per-chip HBM for 1/shards of the logits would otherwise learn
-            # about the replication only via OOM at pod scale
-            pad = -n_cells % shards
-            logging.warning(
-                "cross_val mesh requests %d-way cell sharding over axes %s "
-                "but n_cells=%d does not divide evenly; tensor parallelism "
-                "degrades to REPLICATION (each chip holds the full per-fold "
-                "logits + Adam moments, %dx the sharded budget). Pad the "
-                "single-cell AnnData with %d dummy cells (to %d) to restore "
-                "sharding.",
-                shards, cell_axes, n_cells, shards, pad, n_cells + pad,
-            )
+            from .utils import warn_tp_replication
+
+            warn_tp_replication(shards, cell_axes, n_cells, what="per-fold")
 
     if fold_batch_size == "auto":
         # each batched fold holds its own (cells × spots) logits + two Adam

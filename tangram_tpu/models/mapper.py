@@ -998,6 +998,15 @@ class Mapper:
                 "early stopping over a mesh requires a 'cell' axis "
                 "(the fused sharded path)"
             )
+        if use_mesh and self.optimizer != "adam":
+            # the fused sharded chunks implement Adam; silently training a
+            # different optimizer than requested is exactly the failure the
+            # optimizer= validation exists to prevent
+            raise NotImplementedError(
+                f"early stopping over a mesh supports optimizer='adam' "
+                f"(the fused sharded path); got {self.optimizer!r}. Drop "
+                "early_stop_tol or the mesh."
+            )
         lr_is_vec = np.ndim(learning_rate) == 1
         histories = []
         opt_state, epoch, best = None, 0, -np.inf
@@ -1037,6 +1046,7 @@ class Mapper:
                     compute_dtype=self.compute_dtype,
                     param_dtype=self.param_dtype,
                     rounding=self.rounding,
+                    optimizer=self.optimizer,
                     opt_state=opt_state, return_opt_state=True,
                     step_offset=epoch, donate=True,
                 )

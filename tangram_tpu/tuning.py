@@ -31,18 +31,7 @@ from . import spatial as sw
 from .utils import _SweepJournal, one_hot_encoding
 
 
-def _warn_tp_replication(shards, cell_axes, n_cells):
-    """Loud fallback when requested cell sharding can't apply (VERDICT r4
-    #8): a user who budgeted per-chip HBM for 1/shards of the per-trial
-    logits would otherwise learn about the replication only via OOM."""
-    pad = -n_cells % shards
-    logging.warning(
-        "tuner mesh requests %d-way cell sharding over axes %s but "
-        "n_cells=%d does not divide evenly; tensor parallelism degrades to "
-        "REPLICATION (each chip holds full per-trial logits + Adam moments, "
-        "%dx the sharded budget). Pad to %d cells to restore sharding.",
-        shards, cell_axes, n_cells, shards, n_cells + pad,
-    )
+from .utils import warn_tp_replication as _warn_tp_replication
 
 __all__ = [
     "uniform",

@@ -251,3 +251,20 @@ def transfer_annotations_prob(mapping_matrix, to_transfer):
 
 def transfer_annotations_prob_filter(mapping_matrix, filter, to_transfer):
     return mapping_matrix.transpose() @ (to_transfer * filter[:, np.newaxis])
+
+
+def warn_tp_replication(shards, cell_axes, n_cells, what="per-trial"):
+    """Loud fallback when requested cell sharding can't apply (VERDICT r4
+    #8): a user who budgeted per-chip HBM for 1/shards of the logits would
+    otherwise learn about the replication only via OOM. Shared by the
+    tuner and batched cross-validation."""
+    import logging
+
+    pad = -n_cells % shards
+    logging.warning(
+        "mesh requests %d-way cell sharding over axes %s but n_cells=%d "
+        "does not divide evenly; tensor parallelism degrades to "
+        "REPLICATION (each chip holds full %s logits + optimizer moments, "
+        "%dx the sharded budget). Pad to %d cells to restore sharding.",
+        shards, cell_axes, n_cells, what, shards, n_cells + pad,
+    )
